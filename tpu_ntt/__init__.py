@@ -1,0 +1,37 @@
+"""tpu_ntt — a TPU-native NTT negacyclic polynomial multiplication framework.
+
+A from-scratch JAX / Pallas / pjit re-design of the capabilities of the
+tiny-ntt hardware accelerator (forward/inverse constant-geometry radix-2 NTT,
+Barrett/Montgomery modular arithmetic, pointwise transform-domain multiply,
+psi-twist negacyclic wrapping) for Google TPU:
+
+* exact modular arithmetic built from uint32 lane ops (modmath)
+* batched, jittable transforms over arbitrary leading dims (ntt)
+* fused whole-pipeline Pallas kernels (kernels/)
+* mesh-sharded batch and large-N transforms (sharded)
+"""
+
+from .params import (  # noqa: F401
+    DILITHIUM_256,
+    P24_1024,
+    P24_4096,
+    P60_4096,
+    PRESETS,
+    NttParams,
+    Reduction,
+    find_psi,
+    make_params,
+)
+from .ntt import (  # noqa: F401
+    NttPlan,
+    cyclic_poly_mult,
+    ntt_fwd,
+    ntt_inv,
+    nwc_ntt_fwd,
+    nwc_poly_mult,
+    pointwise_mul,
+    twist,
+    untwist,
+)
+
+__version__ = "0.1.0"

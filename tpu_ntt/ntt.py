@@ -1,0 +1,164 @@
+"""Batched NTT / INTT / polynomial multiplication — pure-XLA path.
+
+This is the portable compute path: jnp ops only, batched over arbitrary
+leading dimensions, jit/vmap/shard_map-compatible, exact on TPU's 32-bit
+integer lanes (see modmath).  The fused Pallas kernels in ``kernels/`` are
+drop-in accelerations of the same plan and are tested bit-exact against it.
+
+Algorithm (reference semantics: new_reference/cg_ntt.py:29-92):
+  forward : bit-reverse, then log2(n) constant-geometry CT stages
+            A[i] = a[2i] + w*a[2i+1], A[i+n/2] = a[2i] - w*a[2i+1].
+  inverse : the same network with omega^-1 twiddles, then scale by n^-1.
+  negacyclic multiply: psi-twist inputs, cyclic multiply, psi^-1-untwist.
+
+On TPU each stage is one fused elementwise pass: the even/odd deinterleave
+``x[..., 0::2] / x[..., 1::2]`` is a static strided slice (the constant-
+geometry property — the identical pattern every stage — is what lets XLA
+compile the whole transform with no dynamic addressing; the RTL's banked
+ping-pong memory system rtl/ntt_coeff_banks.v is replaced by this layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+from .modmath import Ring32, Ring64, make_ring
+from .params import NttParams, Reduction
+
+Elem = Any  # uint32 array (Ring32) or (hi, lo) tuple of uint32 arrays (Ring64)
+
+
+def _tmap(f, *xs):
+    return jax.tree.map(f, *xs)
+
+
+class NttPlan:
+    """Precomputed constants for one (params, reduction) configuration.
+
+    Holds every table the transforms need, host-side (numpy), encoded for the
+    ring's limb layout and reduction backend.  jnp closes over them as
+    constants, so a jitted transform embeds the tables once.
+    """
+
+    def __init__(self, p: NttParams, reduction: Reduction | None = None):
+        self.p = p
+        self.ring = make_ring(p, reduction)
+        n, q = p.n, p.q
+        self.n = n
+        self.log_n = p.log_n
+
+        self.bitrev = np.array(
+            [int(f"{i:0{p.log_n}b}"[::-1], 2) for i in range(n)], dtype=np.int32
+        )
+
+        enc_tw = self.ring.encode_tw
+        fwd = tables.stage_twiddles(n, p.omega, q)
+        inv = tables.stage_twiddles(n, p.omega_inv, q)
+        self.stage_tw = [enc_tw(list(fwd[s])) for s in range(self.log_n)]
+        self.stage_tw_inv = [enc_tw(list(inv[s])) for s in range(self.log_n)]
+        self.psi_pows = enc_tw(tables.psi_powers(p))
+        self.psi_inv_pows = enc_tw(tables.psi_inv_powers(p))
+        self.n_inv_tw = enc_tw([p.n_inv])
+
+        # scaled untwist: psi^-i * n^-1 folded into one table (used by the
+        # fused kernel to merge the INTT scale with the final untwist).
+        self.psi_inv_n_inv = enc_tw(
+            [v * p.n_inv % q for v in tables.psi_inv_powers(p)]
+        )
+
+    # -- host-side conversion ------------------------------------------------
+    def encode(self, coeffs: Sequence[int] | np.ndarray):
+        """Python ints / numpy -> ring element (host numpy limbs)."""
+        arr = np.asarray(coeffs, dtype=object).reshape(-1)
+        flat = self.ring.encode([int(v) for v in arr])
+        shape = np.asarray(coeffs, dtype=object).shape
+        return _tmap(lambda a: a.reshape(shape), flat)
+
+    def decode(self, elem) -> np.ndarray:
+        """Ring element -> numpy object array of Python ints."""
+        leaves = jax.tree.leaves(elem)
+        shape = np.asarray(leaves[0]).shape
+        vals = self.ring.decode(elem)
+        return np.array(vals, dtype=object).reshape(shape)
+
+
+def _butterfly_stage(ring, x: Elem, tw_np) -> Elem:
+    """One CG stage over the last axis: (..., n) -> (..., n)."""
+    even = _tmap(lambda a: a[..., 0::2], x)
+    odd = _tmap(lambda a: a[..., 1::2], x)
+    tw = _tmap(jnp.asarray, tw_np)
+    t = ring.mul_tw(odd, tw)
+    hi = ring.add(even, t)
+    lo = ring.sub(even, t)
+    return _tmap(lambda a, b: jnp.concatenate([a, b], axis=-1), hi, lo)
+
+
+def _transform(plan: NttPlan, x: Elem, inverse: bool) -> Elem:
+    ring = plan.ring
+    x = _tmap(lambda a: jnp.take(a, jnp.asarray(plan.bitrev), axis=-1), x)
+    tw_list = plan.stage_tw_inv if inverse else plan.stage_tw
+    for s in range(plan.log_n):
+        x = _butterfly_stage(ring, x, tw_list[s])
+    if inverse:
+        x = ring.mul_tw(x, _tmap(jnp.asarray, plan.n_inv_tw))
+    return x
+
+
+def ntt_fwd(plan: NttPlan, x: Elem) -> Elem:
+    """Cyclic forward NTT over the last axis (natural order in and out)."""
+    return _transform(plan, x, inverse=False)
+
+
+def ntt_inv(plan: NttPlan, x: Elem) -> Elem:
+    """Cyclic inverse NTT (forward network with omega^-1, then n^-1 scale)."""
+    return _transform(plan, x, inverse=True)
+
+
+def pointwise_mul(plan: NttPlan, a: Elem, b: Elem) -> Elem:
+    """Transform-domain coefficientwise product
+    (reference: rtl/ntt_pointwise_mult.v / serial POINTWISE FSM phase)."""
+    return plan.ring.mul(a, b)
+
+
+def cyclic_poly_mult(plan: NttPlan, a: Elem, b: Elem) -> Elem:
+    """INTT(NTT(a) ⊙ NTT(b)) — the RTL top-level pipeline semantics
+    (reference: rtl/ntt_poly_mult.sv FSM, test_ntt_poly_mult.py:38-43)."""
+    return ntt_inv(plan, pointwise_mul(plan, ntt_fwd(plan, a), ntt_fwd(plan, b)))
+
+
+def twist(plan: NttPlan, x: Elem) -> Elem:
+    """x_i <- x_i * psi^i (negacyclic pre-twist, cg_ntt.py:82-83)."""
+    return plan.ring.mul_tw(x, _tmap(jnp.asarray, plan.psi_pows))
+
+
+def untwist(plan: NttPlan, x: Elem) -> Elem:
+    """x_i <- x_i * psi^-i (negacyclic post-twist, cg_ntt.py:92)."""
+    return plan.ring.mul_tw(x, _tmap(jnp.asarray, plan.psi_inv_pows))
+
+
+def nwc_poly_mult(plan: NttPlan, a: Elem, b: Elem) -> Elem:
+    """Negacyclic polynomial product mod (x^n + 1, q)."""
+    return untwist(plan, cyclic_poly_mult(plan, twist(plan, a), twist(plan, b)))
+
+
+def nwc_ntt_fwd(plan: NttPlan, x: Elem) -> Elem:
+    """Twist + forward NTT (the benchmarked 'forward NTT' of the reference
+    CPU harness, software_benchmark/benchmark_ntt.cpp:207-211)."""
+    return ntt_fwd(plan, twist(plan, x))
+
+
+_JIT_CACHE: dict = {}
+
+
+def jit_fn(plan: NttPlan, fn):
+    """Cache a jitted closure of fn over this plan (plans are not hashable)."""
+    key = (id(plan), fn.__name__)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(functools.partial(fn, plan))
+    return _JIT_CACHE[key]

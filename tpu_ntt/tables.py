@@ -1,0 +1,84 @@
+"""Twiddle-factor tables and hex serialization.
+
+Replaces the reference's constant toolchain (scripts/generate_twiddles.py,
+scripts/generate_inverse_twiddles.py, test/refs/generate_twiddle_hex.py) and
+its BRAM hex images (rtl/twiddle_forward*.hex, rtl/twiddle_inverse*.hex).
+
+Conventions (SURVEY.md §0, reference: scripts/generate_twiddles.py:29-41):
+* forward table[k] = psi^k mod q for k = 0..n-1
+* inverse table[k] = psi^(-k) mod q
+* hex lines are uppercase, zero-padded to ceil(width/4) digits
+  (6 digits for 24-bit, 15 for 60-bit, e.g. rtl/twiddle_forward_4096_60bit.hex).
+
+The plain CG network only ever reads even exponents 2*k*(i div k) of psi —
+equal to the omega-exponents of the cyclic NTT (rtl/ntt_cg_address_gen.v:
+96-100; discussion reports/final-report.tex:513-530) — so a psi-indexed table
+plus that addressing reproduces the cyclic transform; we precompute the
+per-stage omega powers directly instead of re-deriving them per butterfly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .params import NttParams
+
+
+def psi_powers(p: NttParams) -> List[int]:
+    """Forward twiddle table: psi^k for k = 0..n-1."""
+    out, cur = [], 1
+    for _ in range(p.n):
+        out.append(cur)
+        cur = cur * p.psi % p.q
+    return out
+
+
+def psi_inv_powers(p: NttParams) -> List[int]:
+    """Inverse twiddle table: psi^-k for k = 0..n-1."""
+    out, cur = [], 1
+    for _ in range(p.n):
+        out.append(cur)
+        cur = cur * p.psi_inv % p.q
+    return out
+
+
+def stage_twiddles(n: int, omega: int, q: int) -> np.ndarray:
+    """Per-stage butterfly twiddles for the plain CG network, as Python ints.
+
+    Returns an object-dtype array of shape (log2(n), n//2):
+    ``tw[s-1][i] = omega^(k * (i // k))`` with ``k = n >> s`` — the factor
+    applied to the odd input of butterfly i at stage s
+    (reference semantics: new_reference/cg_ntt.py:49-59).
+    """
+    log_n = n.bit_length() - 1
+    out = np.empty((log_n, n // 2), dtype=object)
+    for s in range(1, log_n + 1):
+        k = n >> s
+        omega_s = pow(omega, k, q)
+        w = 1
+        for i in range(n // 2):
+            if i and i % k == 0:
+                w = w * omega_s % q
+            out[s - 1, i] = w
+    return out
+
+
+def hex_digits(width: int) -> int:
+    return (width + 3) // 4
+
+
+def dump_hex(values: Sequence[int], width: int) -> str:
+    """Serialize a table in the reference's $readmemh format."""
+    d = hex_digits(width)
+    return "\n".join(f"{int(v):0{d}X}" for v in values) + "\n"
+
+
+def load_hex(text: str) -> List[int]:
+    return [int(line, 16) for line in text.split() if line.strip()]
+
+
+def dump_twiddle_hex(p: NttParams, inverse: bool = False) -> str:
+    table = psi_inv_powers(p) if inverse else psi_powers(p)
+    return dump_hex(table, p.width)
