@@ -1,0 +1,113 @@
+"""TPU benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: 4096-point 60-bit negacyclic polynomial multiplications per
+second on one chip (the BASELINE.json north-star workload).  ``vs_baseline``
+is the speedup over the reference accelerator's best published number for the
+same operation: 153.10 us per poly-mult on UltraScale+ @ 250 MHz
+(reference: reports/final-report.tex:1339-1347) = 6531.7 poly-mults/s.
+
+Secondary metrics (all four parameter sets, forward-NTT-only rates,
+butterflies/s) go to stderr so the stdout contract stays one line.
+
+Usage: python bench.py [--quick] [--metric nwc60|nwc24|fwd60|fwd24]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from tpu_ntt import PRESETS, NttPlan, nwc_poly_mult, nwc_ntt_fwd
+from tpu_ntt.ntt import jit_fn
+
+# Reference FPGA best for the full 4096-pt poly-mult (153.10 us @ 250 MHz).
+BASELINE_NWC4096_PER_SEC = 1e6 / 153.10
+# Reference FPGA best forward NTT (12.77 us 24-bit, 17.56 us 60-bit).
+BASELINE_FWD4096_24_PER_SEC = 1e6 / 12.77
+BASELINE_FWD4096_60_PER_SEC = 1e6 / 17.56
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(plan, batch, seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, plan.p.q, size=(batch, plan.n), dtype=np.uint64)
+    if plan.ring.nlimbs == 1:
+        return jax.device_put(vals.astype(np.uint32))
+    return (
+        jax.device_put((vals >> 32).astype(np.uint32)),
+        jax.device_put((vals & 0xFFFFFFFF).astype(np.uint32)),
+    )
+
+
+def time_op(fn, args, iters, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_case(name, batch, iters, kind="nwc"):
+    plan = NttPlan(PRESETS[name])
+    a = make_batch(plan, batch, 1)
+    if kind == "fwd":
+        fn, args = jit_fn(plan, nwc_ntt_fwd), (a,)
+    else:
+        fn, args = jit_fn(plan, nwc_poly_mult), (a, make_batch(plan, batch, 2))
+    dt = time_op(fn, args, iters)
+    rate = batch / dt
+    log(
+        f"  {name} {kind}: batch={batch} {dt * 1e3:.3f} ms/iter "
+        f"-> {rate:,.0f} op/s"
+    )
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small batches/iters")
+    ap.add_argument("--metric", default="nwc60",
+                    choices=["nwc60", "nwc24", "fwd60", "fwd24"])
+    ap.add_argument("--all", action="store_true", help="run every case")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+    batch = 64 if args.quick else 512
+    iters = 3 if args.quick else 10
+
+    cases = {
+        "nwc60": ("p60_4096", "nwc", BASELINE_NWC4096_PER_SEC),
+        "nwc24": ("p24_4096", "nwc", BASELINE_NWC4096_PER_SEC),
+        "fwd60": ("p60_4096", "fwd", BASELINE_FWD4096_60_PER_SEC),
+        "fwd24": ("p24_4096", "fwd", BASELINE_FWD4096_24_PER_SEC),
+    }
+
+    if args.all:
+        for key, (name, kind, _) in cases.items():
+            bench_case(name, batch, iters, kind)
+        for name in ("dilithium_256", "p24_1024"):
+            bench_case(name, batch * 4, iters, "nwc")
+
+    name, kind, baseline = cases[args.metric]
+    rate = bench_case(name, batch, iters, kind)
+    print(json.dumps({
+        "metric": f"{kind}_poly_mult_{name}_per_sec"
+        if kind == "nwc" else f"fwd_ntt_{name}_per_sec",
+        "value": round(rate, 1),
+        "unit": "op/s",
+        "vs_baseline": round(rate / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

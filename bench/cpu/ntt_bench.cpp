@@ -1,0 +1,277 @@
+// CPU baseline benchmark for NTT-based negacyclic polynomial multiplication.
+//
+// Native counterpart of the TPU framework's bench harness, filling the role
+// of the reference's software_benchmark/ suite (benchmark_ntt.cpp,
+// benchmark_ntt_60bit.cpp, benchmark_simple*.cpp): it provides the CPU
+// numbers that TPU speedups are quoted against, with the same reported
+// metrics (forward_ntt_avg_ns, avg_ns, checksum) and a --check mode against
+// a direct O(n^2) negacyclic convolution.
+//
+// Fresh implementation, runtime-configurable (the reference fixes n/q/psi at
+// compile time and lists a runtime-configured version as future work):
+//   ./ntt_bench --n 4096 --q 8380417 --psi 283817 --reps 200 --check
+//   ./ntt_bench --preset p60_4096 --reps 100
+//   ./ntt_bench --preset dilithium_256 --direct --reps 10
+//
+// Algorithms: iterative in-place Cooley-Tukey NTT (decimation-in-time,
+// bit-reversed input ordering), psi-twist negacyclic wrapping, 128-bit
+// modular multiply via unsigned __int128.
+
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+using u64 = std::uint64_t;
+using u128 = unsigned __int128;
+
+static u64 mulmod(u64 a, u64 b, u64 q) { return (u128)a * b % q; }
+
+static u64 powmod(u64 b, u64 e, u64 q) {
+  u64 r = 1;
+  b %= q;
+  while (e) {
+    if (e & 1) r = mulmod(r, b, q);
+    b = mulmod(b, b, q);
+    e >>= 1;
+  }
+  return r;
+}
+
+struct NttCtx {
+  u64 q, psi, psi_inv, n_inv;
+  std::size_t n;
+  unsigned log_n;
+  // stage twiddle tables, bit-reverse permutation
+  std::vector<u64> fwd_tw, inv_tw, psi_pow, psi_inv_pow;
+  std::vector<std::uint32_t> bitrev;
+
+  NttCtx(std::size_t n_, u64 q_, u64 psi_) : q(q_), psi(psi_), n(n_) {
+    log_n = 0;
+    while ((std::size_t{1} << log_n) < n) ++log_n;
+    if ((std::size_t{1} << log_n) != n) {
+      std::fprintf(stderr, "n must be a power of two\n");
+      std::exit(2);
+    }
+    if (powmod(psi, n, q) != q - 1) {
+      std::fprintf(stderr, "psi is not a primitive 2n-th root mod q\n");
+      std::exit(2);
+    }
+    psi_inv = powmod(psi, q - 2, q);
+    n_inv = powmod((u64)n, q - 2, q);
+    u64 omega = mulmod(psi, psi, q);
+    u64 omega_inv = powmod(omega, q - 2, q);
+
+    bitrev.resize(n);
+    for (std::size_t i = 0; i < n; ++i) {
+      std::uint32_t r = 0;
+      for (unsigned b = 0; b < log_n; ++b) r |= ((i >> b) & 1u) << (log_n - 1 - b);
+      bitrev[i] = r;
+    }
+    auto build = [&](u64 root, std::vector<u64>& tw) {
+      // tw layout: per stage s (len = 2^s butterfly groups of size m = 2^s),
+      // the m twiddles root_{2m}^j, packed consecutively: offset m holds
+      // stage with half-size m.
+      tw.resize(n);
+      for (std::size_t m = 1; m < n; m <<= 1) {
+        u64 wm = powmod(root, n / (2 * m), q);
+        u64 w = 1;
+        for (std::size_t j = 0; j < m; ++j) {
+          tw[m + j] = w;
+          w = mulmod(w, wm, q);
+        }
+      }
+    };
+    build(omega, fwd_tw);
+    build(omega_inv, inv_tw);
+    psi_pow.resize(n);
+    psi_inv_pow.resize(n);
+    u64 a = 1, b = 1;
+    for (std::size_t i = 0; i < n; ++i) {
+      psi_pow[i] = a;
+      psi_inv_pow[i] = b;
+      a = mulmod(a, psi, q);
+      b = mulmod(b, psi_inv, q);
+    }
+  }
+
+  // In-place cyclic NTT, natural order in/out.
+  void ntt(std::vector<u64>& x, bool inverse) const {
+    for (std::size_t i = 0; i < n; ++i) {
+      std::uint32_t r = bitrev[i];
+      if (i < r) std::swap(x[i], x[r]);
+    }
+    const std::vector<u64>& tw = inverse ? inv_tw : fwd_tw;
+    for (std::size_t m = 1; m < n; m <<= 1) {
+      for (std::size_t k = 0; k < n; k += 2 * m) {
+        for (std::size_t j = 0; j < m; ++j) {
+          u64 t = mulmod(tw[m + j], x[k + j + m], q);
+          u64 u = x[k + j];
+          x[k + j] = u + t >= q ? u + t - q : u + t;
+          x[k + j + m] = u >= t ? u - t : u + q - t;
+        }
+      }
+    }
+    if (inverse)
+      for (auto& v : x) v = mulmod(v, n_inv, q);
+  }
+
+  void twist(std::vector<u64>& x, const std::vector<u64>& pw) const {
+    for (std::size_t i = 0; i < n; ++i) x[i] = mulmod(x[i], pw[i], q);
+  }
+
+  // Negacyclic product via psi-twist + cyclic transform.
+  std::vector<u64> nwc_mul(std::vector<u64> a, std::vector<u64> b) const {
+    twist(a, psi_pow);
+    twist(b, psi_pow);
+    ntt(a, false);
+    ntt(b, false);
+    for (std::size_t i = 0; i < n; ++i) a[i] = mulmod(a[i], b[i], q);
+    ntt(a, true);
+    twist(a, psi_inv_pow);
+    return a;
+  }
+
+  std::vector<u64> direct_nwc(const std::vector<u64>& a,
+                              const std::vector<u64>& b) const {
+    std::vector<u64> out(n, 0);
+    for (std::size_t i = 0; i < n; ++i) {
+      if (!a[i]) continue;
+      for (std::size_t j = 0; j < n; ++j) {
+        u64 t = mulmod(a[i], b[j], q);
+        std::size_t k = i + j;
+        if (k < n)
+          out[k] = out[k] + t >= q ? out[k] + t - q : out[k] + t;
+        else {
+          std::size_t kk = k - n;
+          out[kk] = out[kk] >= t ? out[kk] - t : out[kk] + q - t;
+        }
+      }
+    }
+    return out;
+  }
+};
+
+// Deterministic LCG inputs (same role as the reference's make_poly).
+static std::vector<u64> make_poly(std::size_t n, u64 q, u64 seed) {
+  std::vector<u64> p(n);
+  u64 s = seed * 6364136223846793005ull + 1442695040888963407ull;
+  for (std::size_t i = 0; i < n; ++i) {
+    s = s * 6364136223846793005ull + 1442695040888963407ull;
+    p[i] = (s >> 11) % q;
+  }
+  return p;
+}
+
+static u64 checksum(const std::vector<u64>& v) {
+  u64 h = 1469598103934665603ull;
+  for (u64 x : v) {
+    h ^= x;
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+struct Preset {
+  const char* name;
+  std::size_t n;
+  u64 q, psi;
+};
+static const Preset kPresets[] = {
+    {"dilithium_256", 256, 8380417ull, 1239911ull},
+    {"p24_1024", 1024, 8380417ull, 5548360ull},
+    {"p24_4096", 4096, 8380417ull, 283817ull},
+    {"p60_4096", 4096, 1152921504606830593ull, 431606828070683274ull},
+};
+
+int main(int argc, char** argv) {
+  std::size_t n = 4096;
+  u64 q = 8380417, psi = 283817;
+  int reps = 100;
+  bool check = false, direct = false;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "missing value for %s\n", a.c_str());
+        std::exit(2);
+      }
+      return argv[++i];
+    };
+    if (a == "--n") n = std::strtoull(next(), nullptr, 0);
+    else if (a == "--q") q = std::strtoull(next(), nullptr, 0);
+    else if (a == "--psi") psi = std::strtoull(next(), nullptr, 0);
+    else if (a == "--reps") reps = std::atoi(next());
+    else if (a == "--check") check = true;
+    else if (a == "--direct") direct = true;
+    else if (a == "--preset") {
+      std::string p = next();
+      bool found = false;
+      for (const auto& pr : kPresets)
+        if (p == pr.name) { n = pr.n; q = pr.q; psi = pr.psi; found = true; }
+      if (!found) {
+        std::fprintf(stderr, "unknown preset %s\n", p.c_str());
+        return 2;
+      }
+    } else {
+      std::fprintf(stderr, "usage: %s [--preset NAME | --n N --q Q --psi PSI]"
+                           " [--reps R] [--check] [--direct]\n", argv[0]);
+      return 2;
+    }
+  }
+
+  NttCtx ctx(n, q, psi);
+  auto a = make_poly(n, q, 1), b = make_poly(n, q, 2);
+
+  using clk = std::chrono::steady_clock;
+  auto ns = [](clk::duration d) {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(d).count();
+  };
+
+  if (check || direct) {
+    auto want = ctx.direct_nwc(a, b);
+    if (direct) {
+      auto t0 = clk::now();
+      std::vector<u64> out;
+      for (int r = 0; r < reps; ++r) out = ctx.direct_nwc(a, b);
+      auto total = ns(clk::now() - t0);
+      std::printf("direct_total_ns %lld\ndirect_avg_ns %lld\nchecksum %llu\n",
+                  (long long)total, (long long)(total / reps),
+                  (unsigned long long)checksum(out));
+      return 0;
+    }
+    auto got = ctx.nwc_mul(a, b);
+    if (got != want) {
+      std::printf("check FAILED\n");
+      return 1;
+    }
+    std::printf("check ok\n");
+  }
+
+  // forward NTT (incl. twist) — matches the reference's forward_ntt metric.
+  {
+    auto t0 = clk::now();
+    for (int r = 0; r < reps; ++r) {
+      auto x = a;
+      ctx.twist(x, ctx.psi_pow);
+      ctx.ntt(x, false);
+    }
+    auto total = ns(clk::now() - t0);
+    std::printf("forward_ntt_total_ns %lld\nforward_ntt_avg_ns %lld\n",
+                (long long)total, (long long)(total / reps));
+  }
+  // full negacyclic poly-mult
+  {
+    std::vector<u64> out;
+    auto t0 = clk::now();
+    for (int r = 0; r < reps; ++r) out = ctx.nwc_mul(a, b);
+    auto total = ns(clk::now() - t0);
+    std::printf("total_ns %lld\navg_ns %lld\nchecksum %llu\n",
+                (long long)total, (long long)(total / reps),
+                (unsigned long long)checksum(out));
+  }
+  return 0;
+}

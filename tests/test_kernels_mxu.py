@@ -1,0 +1,112 @@
+"""MXU Pallas-kernel bit-exactness tests (SURVEY.md §4 tier (b)).
+
+Run in Pallas interpret mode on CPU so the suite is hardware-independent;
+the identical kernels compile and run on real TPU (exercised by bench.py and
+the verify flow).  Oracles: pure-Python goldens (new_reference/cg_ntt.py
+semantics) and the XLA path.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import DILITHIUM_256, P24_1024, P24_4096, P60_4096, NttParams
+from tpu_ntt import reference
+from tpu_ntt.kernels.mxu import MxuPlan
+
+PARAMS = [DILITHIUM_256, P24_1024, P24_4096]
+
+
+def rand_batch(p, b, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, p.q, size=(b, p.n), dtype=np.uint32)
+
+
+@pytest.mark.parametrize("p", PARAMS, ids=lambda p: p.name)
+def test_fwd_matches_golden(p):
+    mp = MxuPlan(p)
+    a = rand_batch(p, 2, 1)
+    got = np.asarray(mp.fourstep_to_natural(mp.ntt_fwd(a, interpret=True)))
+    for i in range(2):
+        want = reference.cg_ntt([int(v) for v in a[i]], p.omega, p.q)
+        assert [int(v) for v in got[i]] == want
+
+
+@pytest.mark.parametrize("p", PARAMS, ids=lambda p: p.name)
+def test_fwd_inv_roundtrip(p):
+    mp = MxuPlan(p)
+    a = rand_batch(p, mp.t + 1, 2)  # non-multiple of t exercises padding
+    rt = np.asarray(mp.ntt_inv(mp.ntt_fwd(a, interpret=True), interpret=True))
+    assert (rt == a).all()
+
+
+@pytest.mark.parametrize("p", PARAMS, ids=lambda p: p.name)
+def test_nwc_poly_mult_matches_golden(p):
+    mp = MxuPlan(p)
+    a, b = rand_batch(p, 2, 3), rand_batch(p, 2, 4)
+    got = np.asarray(mp.nwc_poly_mult(a, b, interpret=True))
+    for i in range(2):
+        want = reference.nwc_poly_mult(
+            [int(v) for v in a[i]], [int(v) for v in b[i]], p
+        )
+        assert [int(v) for v in got[i]] == want
+
+
+def test_nwc_small_vs_schoolbook():
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    a, b = rand_batch(p, 1, 5), rand_batch(p, 1, 6)
+    got = np.asarray(mp.nwc_poly_mult(a, b, interpret=True))
+    want = reference.schoolbook_negacyclic(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], p.q
+    )
+    assert [int(v) for v in got[0]] == want
+
+
+def test_cyclic_poly_mult_matches_golden():
+    p = P24_1024
+    mp = MxuPlan(p)
+    a, b = rand_batch(p, 2, 7), rand_batch(p, 2, 8)
+    got = np.asarray(mp.cyclic_poly_mult(a, b, interpret=True))
+    for i in range(2):
+        want = reference.cyclic_poly_mult(
+            [int(v) for v in a[i]], [int(v) for v in b[i]], p
+        )
+        assert [int(v) for v in got[i]] == want
+
+
+def test_edge_values():
+    """Boundary operands q-1 / 0 / 1 (mirrors test_mod_add.py edge tests)."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    a = np.zeros((3, p.n), dtype=np.uint32)
+    b = np.zeros((3, p.n), dtype=np.uint32)
+    a[0, :] = p.q - 1
+    b[0, :] = p.q - 1
+    a[1, 0] = 1  # delta * b = b
+    b[1, :] = np.arange(p.n, dtype=np.uint32) % p.q
+    a[2, :] = 0
+    b[2, :] = p.q - 1
+    got = np.asarray(mp.nwc_poly_mult(a, b, interpret=True))
+    for i in range(3):
+        want = reference.nwc_poly_mult(
+            [int(v) for v in a[i]], [int(v) for v in b[i]], p
+        )
+        assert [int(v) for v in got[i]] == want
+
+
+def test_rejects_wide_modulus():
+    with pytest.raises(ValueError, match="2\\^25"):
+        MxuPlan(P60_4096)
+
+
+def test_rejects_small_n():
+    with pytest.raises(ValueError):
+        MxuPlan(NttParams(n=128, q=8380417, psi=3241972, name="tiny"))
+
+
+def test_fourstep_perm_is_involution_consistent():
+    mp = MxuPlan(P24_4096)
+    perm = mp.fourstep_to_natural_perm()
+    inv = np.argsort(perm)
+    x = np.arange(P24_4096.n)
+    assert (x[perm][inv] == x).all()

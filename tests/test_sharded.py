@@ -1,0 +1,174 @@
+"""Mesh-sharded transform tests (SURVEY.md §4 implication (e)).
+
+Run on 8 virtual CPU devices (conftest.py) — the same code path the driver
+dry-runs and the TPU benchmark executes on real chips.  Oracles: the pure
+Python golden models (reference semantics: new_reference/cg_ntt.py) and the
+single-chip XLA path.
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_ntt import DILITHIUM_256, P24_1024, P60_4096, NttPlan, nwc_poly_mult
+from tpu_ntt import reference, sharded
+from tpu_ntt.params import make_params
+
+
+def rand_poly(rng, p):
+    return [rng.randrange(p.q) for _ in range(p.n)]
+
+
+def make_mesh(shape, names):
+    devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, names)
+
+
+# ---------------------------------------------------------------------------
+# Local four-step (single device) vs golden
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (DILITHIUM_256, 4),
+                                  (P24_1024, 32), (P60_4096, 64)])
+def test_fourstep_local_fwd_matches_golden(p, n1, rng=random.Random(7)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    x = rand_poly(rng, p)
+    want = reference.cg_ntt(x, p.omega, p.q)
+    got4 = fs.decode(jax.jit(lambda v: sharded.fourstep_fwd_local(fs, v))(fs.encode(x)))
+    # four-step layout: entry [k1, k2] holds X[k2*n1 + k1]
+    got = np.empty(p.n, dtype=object)
+    g = got4.reshape(fs.n1, fs.n2)
+    for k1 in range(fs.n1):
+        for k2 in range(fs.n2):
+            got[k2 * fs.n1 + k1] = g[k1, k2]
+    assert list(got) == want
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P24_1024, 8)])
+def test_fourstep_local_roundtrip(p, n1, rng=random.Random(8)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    x = rand_poly(rng, p)
+    enc = fs.encode(x)
+    out = jax.jit(
+        lambda v: sharded.fourstep_inv_local(fs, sharded.fourstep_fwd_local(fs, v))
+    )(enc)
+    assert list(fs.decode(out)) == x
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P60_4096, 64)])
+def test_fourstep_local_nwc_matches_golden(p, n1, rng=random.Random(9)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    a, b = rand_poly(rng, p), rand_poly(rng, p)
+    want = reference.nwc_poly_mult(a, b, p)
+    got = fs.decode(
+        jax.jit(lambda u, v: sharded.fourstep_nwc_poly_mult_local(fs, u, v))(
+            fs.encode(a), fs.encode(b)
+        )
+    )
+    assert list(got) == want
+
+
+# ---------------------------------------------------------------------------
+# Sharded four-step on the 8-device CPU mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P24_1024, 32),
+                                  (P60_4096, 64)])
+def test_sharded_fwd_inv_roundtrip(p, n1, rng=random.Random(10)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    x = rand_poly(rng, p)
+    enc = sn.put_natural(fs.encode(x), batched=False)
+    f = sn.ntt_fwd(enc, batched=False)
+    out = sn.ntt_inv(f, batched=False)
+    assert list(fs.decode(out)) == x
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P60_4096, 64)])
+def test_sharded_fwd_matches_local(p, n1, rng=random.Random(11)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    x = rand_poly(rng, p)
+    enc = fs.encode(x)
+    want = fs.decode(sharded.fourstep_fwd_local(fs, enc))
+    got = fs.decode(sn.ntt_fwd(sn.put_natural(enc, batched=False), batched=False))
+    assert list(got) == list(want)
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P24_1024, 32),
+                                  (P60_4096, 64)])
+def test_sharded_nwc_poly_mult_vs_golden(p, n1, rng=random.Random(12)):
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    a, b = rand_poly(rng, p), rand_poly(rng, p)
+    want = reference.nwc_poly_mult(a, b, p)
+    got = fs.decode(
+        sn.nwc_poly_mult(
+            sn.put_natural(fs.encode(a), batched=False),
+            sn.put_natural(fs.encode(b), batched=False),
+            batched=False,
+        )
+    )
+    assert list(got) == want
+
+
+def test_sharded_batched_2d_mesh(rng=random.Random(13)):
+    """batch x coeff mesh: 2-way data parallel, 4-way transform-internal."""
+    p = DILITHIUM_256
+    fs = sharded.FourStepPlan(p, 16, 16)
+    mesh = make_mesh((2, 4), ("batch", "coeff"))
+    sn = sharded.ShardedNtt(fs, mesh, batch_axis="batch")
+    batch = 4
+    polys_a = [rand_poly(rng, p) for _ in range(batch)]
+    polys_b = [rand_poly(rng, p) for _ in range(batch)]
+    a = sn.put_natural(fs.encode(np.array(polys_a, dtype=object)))
+    b = sn.put_natural(fs.encode(np.array(polys_b, dtype=object)))
+    got = fs.decode(sn.jit_nwc_poly_mult()(a, b))
+    for i in range(batch):
+        want = reference.nwc_poly_mult(polys_a[i], polys_b[i], p)
+        assert list(got[i]) == want
+
+
+def test_large_n_two_pow_16(rng=random.Random(14)):
+    """A beyond-reference size (n=65536) through the sharded path.  The
+    24-bit Dilithium q only supports n<=4096 (2-adicity of q-1 is 13), so
+    this uses the classic 30-bit NTT prime 998244353 = 119*2^23 + 1."""
+    q = 998244353
+    p = make_params(65536, q)
+    fs = sharded.FourStepPlan(p, 256, 256)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    x = [rng.randrange(q) for _ in range(p.n)]
+    enc = sn.put_natural(fs.encode(x), batched=False)
+    out = sn.ntt_inv(sn.ntt_fwd(enc, batched=False), batched=False)
+    assert list(fs.decode(out)) == x
+
+
+def test_batch_pjit_data_parallel(rng=random.Random(15)):
+    plan = NttPlan(DILITHIUM_256)
+    mesh = make_mesh((8,), ("batch",))
+    batch = 16
+    p = DILITHIUM_256
+    polys_a = [rand_poly(rng, p) for _ in range(batch)]
+    polys_b = [rand_poly(rng, p) for _ in range(batch)]
+    a = sharded.shard_batch(mesh, "batch", plan.encode(np.array(polys_a, dtype=object)))
+    b = sharded.shard_batch(mesh, "batch", plan.encode(np.array(polys_b, dtype=object)))
+    run = sharded.batch_pjit(plan, nwc_poly_mult, mesh)
+    got = plan.decode(run(a, b))
+    for i in range(batch):
+        assert list(got[i]) == reference.nwc_poly_mult(polys_a[i], polys_b[i], p)
+
+
+def test_default_split():
+    assert sharded.default_split(4096) == (64, 64)
+    assert sharded.default_split(1024) == (32, 32)
+    assert sharded.default_split(2 ** 20) == (1024, 1024)
+    assert sharded.default_split(512) == (16, 32)

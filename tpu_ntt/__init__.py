@@ -33,5 +33,10 @@ from .ntt import (  # noqa: F401
     twist,
     untwist,
 )
+from .sharded import (  # noqa: F401
+    FourStepPlan,
+    ShardedNtt,
+    default_split,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,386 @@
+"""Fused NTT / negacyclic-poly-mult Pallas kernels built on the MXU.
+
+TPU-native replacement for the reference's entire RTL datapath
+(rtl/ntt_forward.sv, rtl/ntt_inverse.sv, rtl/ntt_poly_mult.sv FSM,
+rtl/ntt_butterfly.v, rtl/mod_mult.v): where the hardware streams butterflies
+through banked BRAMs over ~38k cycles, here one kernel invocation keeps a
+group of polynomials resident in VMEM and the transforms run as dense
+matrix multiplications on the 128x128 systolic array.
+
+Design (chosen from measured Mosaic capabilities — no strided slices, no
+lane gathers, but exact small-integer matmuls):
+
+* An n-point NTT is the four-step factorization n = n1 * 128: length-n1
+  DFTs along sublanes = a left matmul by a block-diagonal (128,128) matrix
+  (T = 128/n1 polynomials share one MXU tile), an elementwise "mid" twiddle,
+  and a length-128 DFT along lanes = a right matmul by the dense 128x128
+  DFT-mod-q matrix.  The dense-matrix transform needs no bit reversal and
+  no butterfly network at all: natural order in, four-step order
+  (entry [k1, k2] = X[k2*n1 + k1]) out, and the inverse kernel consumes
+  that same order, so a full poly-mult performs no permutation anywhere.
+* Exactness on the MXU: operands are decomposed into 8-bit limbs lifted to
+  bfloat16.  Each limb-pair product accumulates at most 128 * 255 * 255 <
+  2^24 in float32, which is exact; diagonal limb sums are combined in
+  uint32 and the 64-bit total is reduced by one Montgomery REDC.
+* All kernel-resident values live in the Montgomery domain (x*R mod q,
+  R = 2^32).  Domain entry is folded into the psi-twist table (psi^i * R^2)
+  and exit into the untwist table (psi^-i * n^-1, plain), so conversion is
+  free in the fused pipeline.  Validity needs 128 * q^2 < q * 2^32, i.e.
+  q < 2^25 — covers the shipped 24-bit sets; wider moduli use the XLA path
+  (ntt.py) or the RNS route (rns.py).
+
+Reference arithmetic being replaced: Montgomery REDC is the
+REDUCTION_TYPE=2 algorithm of rtl/montgomery_reduction.v:22-26 with
+word-aligned R; the psi-twist convention is new_reference/cg_ntt.py:78-92.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..modmath import mont_mul32, mul32
+from ..params import NttParams
+
+U32 = jnp.uint32
+LANES = 128
+
+
+def _pow_table(base: int, q: int, count: int) -> list[int]:
+    out, cur = [], 1
+    for _ in range(count):
+        out.append(cur)
+        cur = cur * base % q
+    return out
+
+
+def _limb_split_bf16(mat: np.ndarray, nlimbs: int) -> np.ndarray:
+    """(..., r, c) uint32 -> (nlimbs, ..., r, c) bf16 of 8-bit limbs."""
+    limbs = [((mat >> (8 * i)) & 0xFF).astype(np.float32) for i in range(nlimbs)]
+    return jnp.asarray(np.stack(limbs), dtype=jnp.bfloat16)
+
+
+class MxuPlan:
+    """Host-side constants for the MXU kernels of one parameter set.
+
+    Requires q < 2^25 (REDC validity, see module docstring) and
+    256 <= n <= 16384 with n % 128 == 0.
+    """
+
+    def __init__(self, p: NttParams):
+        if p.width > 24:
+            raise ValueError(
+                f"MxuPlan requires q < 2^25 (got {p.width}-bit q); use the "
+                "XLA path or RNS for wider moduli"
+            )
+        if p.n % LANES or not (2 * LANES <= p.n <= LANES * LANES):
+            raise ValueError(f"n={p.n} must be in [256, 16384] and divide 128")
+        self.p = p
+        q = p.q
+        self.q = q
+        self.q_prime = p.mont_q_prime  # -q^-1 mod 2^32
+        self.n1 = p.n // LANES
+        self.n2 = LANES
+        self.t = LANES // self.n1  # polynomials per 128x128 MXU group
+        self.nlimbs = (p.width + 7) // 8
+        r = (1 << 32) % q
+        r2 = p.mont_r2_mod_q
+
+        n1, n2, t = self.n1, self.n2, self.t
+        w1 = pow(p.omega, n2, q)  # primitive n1-th root
+        w2 = pow(p.omega, n1, q)  # primitive n2-th root
+        w1i = pow(w1, q - 2, q)
+        w2i = pow(w2, q - 2, q)
+
+        def dft_matrix(size: int, root: int) -> np.ndarray:
+            pows = _pow_table(root, q, size)
+            m = np.empty((size, size), dtype=np.uint32)
+            for i in range(size):
+                for j in range(size):
+                    m[i, j] = pows[(i * j) % size]
+            return m
+
+        def block_diag(m: np.ndarray) -> np.ndarray:
+            out = np.zeros((LANES, LANES), dtype=np.uint32)
+            for b in range(t):
+                out[b * n1 : (b + 1) * n1, b * n1 : (b + 1) * n1] = m
+            return out
+
+        to_mont = lambda m: (m.astype(object) * r % q).astype(np.uint32)
+        self.w1_limbs = _limb_split_bf16(to_mont(block_diag(dft_matrix(n1, w1))), self.nlimbs)
+        self.w1i_limbs = _limb_split_bf16(to_mont(block_diag(dft_matrix(n1, w1i))), self.nlimbs)
+        self.w2_limbs = _limb_split_bf16(to_mont(dft_matrix(n2, w2)), self.nlimbs)
+        self.w2i_limbs = _limb_split_bf16(to_mont(dft_matrix(n2, w2i)), self.nlimbs)
+
+        # Elementwise tables, all (128, 128), tiled over the t polynomials
+        # of a group.  mid[k1, m2] = omega^(+-k1*m2) in Montgomery form.
+        def tiled(fn) -> np.ndarray:
+            blk = np.empty((n1, n2), dtype=np.uint32)
+            for i1 in range(n1):
+                for i2 in range(n2):
+                    blk[i1, i2] = fn(i1, i2)
+            return jnp.asarray(np.tile(blk, (t, 1)))
+
+        omega, omega_inv = p.omega, p.omega_inv
+        psi, psi_inv = p.psi, p.psi_inv
+        self.mid = tiled(lambda k1, m2: pow(omega, k1 * m2, q) * r % q)
+        self.mid_inv = tiled(lambda k1, m2: pow(omega_inv, k1 * m2, q) * r % q)
+        # twist enters the Montgomery domain (psi^i * R^2); untwist leaves it
+        # and folds the n^-1 INTT scale (psi^-i * n^-1, plain).
+        self.twist = tiled(lambda i1, i2: pow(psi, i1 * n2 + i2, q) * r2 % q)
+        self.untwist = tiled(
+            lambda i1, i2: pow(psi_inv, i1 * n2 + i2, q) * p.n_inv % q
+        )
+        self.enter = tiled(lambda i1, i2: r2)  # x -> x*R
+        self.exit_scale = tiled(lambda i1, i2: p.n_inv % q)  # xbar*n^-1 -> std
+        self.exit_one = tiled(lambda i1, i2: 1)  # xbar -> x (plain REDC)
+
+    # ------------------------------------------------------------------
+    # In-kernel primitives (pure jnp on (128, 128) uint32 values)
+    # ------------------------------------------------------------------
+
+    def _to_limbs(self, x):
+        L = self.nlimbs
+        return [
+            ((x >> (8 * i)) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+            .astype(jnp.bfloat16)
+            for i in range(L)
+        ]
+
+    def _redc_pair(self, hi, lo):
+        """(hi*2^32 + lo) * R^-1 mod q, valid for hi*2^32+lo < q*2^32."""
+        m = lo * U32(self.q_prime)
+        mq_hi, _ = mul32(m, jnp.full_like(lo, self.q))
+        t = hi + mq_hi + (lo != 0).astype(U32)
+        return jnp.where(t >= self.q, t - U32(self.q), t)
+
+    def _matmul_mont(self, x, w_limbs, left: bool):
+        """REDC( W @ x ) or REDC( x @ W ) with 8-bit-limb bf16 MXU matmuls.
+
+        W is stored in Montgomery form, so Montgomery-domain x stays in
+        domain.  Exact: every f32 partial sum < 2^24.
+        """
+        L = self.nlimbs
+        xl = self._to_limbs(x)
+        diags: list = [None] * (2 * L - 1)
+        for i in range(L):
+            for j in range(L):
+                if left:
+                    prod = jnp.dot(
+                        w_limbs[j], xl[i], preferred_element_type=jnp.float32
+                    )
+                else:
+                    prod = jnp.dot(
+                        xl[i], w_limbs[j], preferred_element_type=jnp.float32
+                    )
+                prod = prod.astype(jnp.int32).astype(U32)  # exact, < 2^24
+                k = i + j
+                diags[k] = prod if diags[k] is None else diags[k] + prod
+
+        # Assemble S = sum_k diags[k] << 8k into a 64-bit (hi, lo) pair.
+        hi = jnp.zeros_like(x)
+        lo = jnp.zeros_like(x)
+        for k, s in enumerate(diags):
+            sh = 8 * k
+            if sh >= 32:
+                hi = hi + (s << (sh - 32))
+                continue
+            add_lo = s << sh
+            new_lo = lo + add_lo
+            carry = (new_lo < lo).astype(U32)
+            lo = new_lo
+            hi = hi + carry
+            if sh:
+                hi = hi + (s >> (32 - sh))
+        return self._redc_pair(hi, lo)
+
+    def _emul(self, x, table):
+        """Elementwise Montgomery product with a precomputed table."""
+        return mont_mul32(x, table, self.q, self.q_prime)
+
+    def _fwd_group(self, x, w1, w2, mid):
+        x = self._matmul_mont(x, w1, left=True)
+        x = self._emul(x, mid)
+        return self._matmul_mont(x, w2, left=False)
+
+    def _inv_group(self, x, w1i, w2i, mid_inv):
+        x = self._matmul_mont(x, w2i, left=False)
+        x = self._emul(x, mid_inv)
+        return self._matmul_mont(x, w1i, left=True)
+
+    # ------------------------------------------------------------------
+    # Kernel bodies
+    # ------------------------------------------------------------------
+
+    def _unpack_w(self, ref):
+        return [ref[i] for i in range(self.nlimbs)]
+
+    def _nwc_kernel(
+        self, a_ref, b_ref, w1, w2, w1i, w2i, twist, mid, mid_inv, untwist,
+        out_ref,
+    ):
+        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
+        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
+        tw, m, mi, untw = twist[...], mid[...], mid_inv[...], untwist[...]
+        at = self._emul(a_ref[0], tw)  # twist + Montgomery entry
+        bt = self._emul(b_ref[0], tw)
+        fa = self._fwd_group(at, w1_l, w2_l, m)
+        fb = self._fwd_group(bt, w1_l, w2_l, m)
+        c = self._emul(fa, fb)  # pointwise, stays in domain
+        c = self._inv_group(c, w1i_l, w2i_l, mi)
+        out_ref[0] = self._emul(c, untw)  # untwist + n^-1 + domain exit
+
+    def _cyclic_kernel(
+        self, a_ref, b_ref, w1, w2, w1i, w2i, enter, mid, mid_inv, exit_scale,
+        out_ref,
+    ):
+        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
+        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
+        en, m, mi, ex = enter[...], mid[...], mid_inv[...], exit_scale[...]
+        at = self._emul(a_ref[0], en)
+        bt = self._emul(b_ref[0], en)
+        fa = self._fwd_group(at, w1_l, w2_l, m)
+        fb = self._fwd_group(bt, w1_l, w2_l, m)
+        c = self._emul(fa, fb)
+        c = self._inv_group(c, w1i_l, w2i_l, mi)
+        out_ref[0] = self._emul(c, ex)  # n^-1 scale + domain exit
+
+    def _fwd_kernel(self, x_ref, w1, w2, enter, mid, exit_one, out_ref):
+        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
+        xt = self._emul(x_ref[0], enter[...])
+        y = self._fwd_group(xt, w1_l, w2_l, mid[...])
+        out_ref[0] = self._emul(y, exit_one[...])
+
+    def _inv_kernel(self, x_ref, w1i, w2i, enter, mid_inv, exit_scale, out_ref):
+        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
+        xt = self._emul(x_ref[0], enter[...])
+        y = self._inv_group(xt, w1i_l, w2i_l, mid_inv[...])
+        out_ref[0] = self._emul(y, exit_scale[...])
+
+    # ------------------------------------------------------------------
+    # pallas_call wrappers
+    # ------------------------------------------------------------------
+
+    def _group_batch(self, x):
+        """(B, n) uint32 -> (G, 128, 128) groups of t polys, plus pad info."""
+        b = x.shape[0]
+        pad = (-b) % self.t
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), U32)], axis=0)
+        g = (b + pad) // self.t
+        return x.reshape(g, LANES, LANES), b
+
+    def _call(self, kernel, data_args, table_args, interpret=False):
+        g = data_args[0].shape[0]
+        data_spec = pl.BlockSpec(
+            (1, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        w_spec = pl.BlockSpec(
+            (self.nlimbs, LANES, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tbl_spec = pl.BlockSpec(
+            (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [data_spec] * len(data_args) + [
+            w_spec if a.dtype == jnp.bfloat16 else tbl_spec for a in table_args
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            out_shape=jax.ShapeDtypeStruct((g, LANES, LANES), U32),
+            in_specs=in_specs,
+            out_specs=data_spec,
+            interpret=interpret,
+        )(*data_args, *table_args)
+
+    def nwc_poly_mult(self, a, b, interpret: bool = False):
+        """Fused negacyclic product of batched polynomials.
+
+        a, b: (B, n) uint32, coefficients in [0, q), natural order.
+        Returns (B, n) uint32, natural order — one kernel, zero HBM round
+        trips between pipeline phases (the reference spends >50% of its
+        38,275 cycles on exactly those round trips,
+        reports/final-report.tex:1693).
+        """
+        ga, bsz = self._group_batch(a)
+        gb, _ = self._group_batch(b)
+        out = self._call(
+            self._nwc_kernel,
+            (ga, gb),
+            (
+                self.w1_limbs, self.w2_limbs, self.w1i_limbs, self.w2i_limbs,
+                self.twist, self.mid, self.mid_inv, self.untwist,
+            ),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def cyclic_poly_mult(self, a, b, interpret: bool = False):
+        """Fused cyclic product INTT(NTT(a) . NTT(b)) — the RTL top-level
+        semantics (rtl/ntt_poly_mult.sv pipeline)."""
+        ga, bsz = self._group_batch(a)
+        gb, _ = self._group_batch(b)
+        out = self._call(
+            self._cyclic_kernel,
+            (ga, gb),
+            (
+                self.w1_limbs, self.w2_limbs, self.w1i_limbs, self.w2i_limbs,
+                self.enter, self.mid, self.mid_inv, self.exit_scale,
+            ),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def ntt_fwd(self, x, interpret: bool = False):
+        """Batched cyclic forward NTT, four-step output layout.
+
+        Output position k1*128 + k2 (within each poly) holds X[k2*n1 + k1];
+        use ``fourstep_to_natural`` for reference order.
+        """
+        gx, bsz = self._group_batch(x)
+        out = self._call(
+            self._fwd_kernel,
+            (gx,),
+            (self.w1_limbs, self.w2_limbs, self.enter, self.mid, self.exit_one),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def ntt_inv(self, x, interpret: bool = False):
+        """Batched cyclic inverse NTT consuming the four-step layout."""
+        gx, bsz = self._group_batch(x)
+        out = self._call(
+            self._inv_kernel,
+            (
+                gx,),
+            (self.w1i_limbs, self.w2i_limbs, self.enter, self.mid_inv,
+             self.exit_scale),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    # ------------------------------------------------------------------
+    # Layout helpers
+    # ------------------------------------------------------------------
+
+    def fourstep_to_natural_perm(self) -> np.ndarray:
+        """perm such that natural_spectrum = fourstep_flat[perm]."""
+        n1 = self.n1
+        return np.arange(self.p.n).reshape(n1, LANES).T.reshape(-1)
+
+    def fourstep_to_natural(self, x):
+        perm = jnp.asarray(self.fourstep_to_natural_perm())
+        return jnp.take(x, perm, axis=-1)
+
+    def natural_to_fourstep(self, x):
+        perm = jnp.asarray(
+            np.argsort(self.fourstep_to_natural_perm()).astype(np.int32)
+        )
+        return jnp.take(x, perm, axis=-1)
