@@ -1,0 +1,140 @@
+"""CLI toolchain + native-oracle tests (reference analogs: scripts/ CLIs,
+software_benchmark --check)."""
+
+import io
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+from tpu_ntt import DILITHIUM_256, P24_4096, P60_4096
+from tpu_ntt import native, reference, tables, tools
+
+from conftest import reference_hex_path
+
+
+def run_cli(argv):
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = tools.main(argv)
+    return rc, buf.getvalue()
+
+
+def test_cli_twiddles_matches_tables():
+    rc, out = run_cli(["twiddles", "--preset", "dilithium_256"])
+    assert rc == 0
+    assert tables.load_hex(out) == tables.psi_powers(DILITHIUM_256)
+
+
+def test_cli_twiddles_inverse_custom_params():
+    rc, out = run_cli(
+        ["twiddles", "--n", "256", "--q", "8380417", "--psi", "1239911",
+         "--inverse"]
+    )
+    assert rc == 0
+    assert tables.load_hex(out) == tables.psi_inv_powers(DILITHIUM_256)
+
+
+def test_cli_find_psi():
+    rc, out = run_cli(["find-psi", "--n", "256", "--q", "8380417"])
+    assert rc == 0
+    psi = int(out.strip())
+    assert pow(psi, 256, 8380417) == 8380416
+
+
+def test_cli_find_psi_all():
+    rc, out = run_cli(["find-psi", "--n", "256", "--q", "8380417", "--all",
+                       "--limit", "5"])
+    assert rc == 0
+    vals = [int(v) for v in out.split()]
+    assert len(vals) == 5
+    for psi in vals:
+        assert pow(psi, 256, 8380417) == 8380416
+
+
+def test_cli_constants():
+    rc, out = run_cli(["constants", "--preset", "p60_4096"])
+    assert rc == 0
+    assert f"psi_inv        {P60_4096.psi_inv}" in out
+    assert f"barrett_mu     {P60_4096.barrett_mu}" in out
+
+
+def test_cli_verify_hex_against_reference(tmp_path):
+    path = reference_hex_path("twiddle_forward_4096.hex")
+    if path is None:
+        path = str(tmp_path / "fwd.hex")
+        with open(path, "w") as f:
+            f.write(tables.dump_twiddle_hex(P24_4096))
+    rc, out = run_cli(["verify-hex", "--preset", "p24_4096", "--file", path])
+    assert rc == 0 and out.startswith("OK")
+
+
+def test_cli_verify_hex_detects_corruption(tmp_path):
+    path = tmp_path / "bad.hex"
+    text = tables.dump_twiddle_hex(DILITHIUM_256).splitlines()
+    text[5] = "000001"
+    path.write_text("\n".join(text) + "\n")
+    rc, out = run_cli(["verify-hex", "--preset", "dilithium_256",
+                       "--file", str(path)])
+    assert rc == 1 and "MISMATCH" in out
+
+
+# ---------------------------------------------------------------------------
+# Native oracle
+# ---------------------------------------------------------------------------
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="no g++ / native oracle unavailable"
+)
+
+
+@needs_native
+def test_native_schoolbook_matches_python(rng):
+    p = DILITHIUM_256
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    assert native.nwc_schoolbook(a, b, p.q) == reference.schoolbook_negacyclic(a, b, p.q)
+    assert native.cyclic_schoolbook(a, b, p.q) == reference.schoolbook_cyclic(a, b, p.q)
+
+
+@needs_native
+def test_native_60bit_schoolbook(rng):
+    q = P60_4096.q
+    n = 64
+    # independent small-n 60-bit case: compare vs big-int python schoolbook
+    a = [rng.randrange(q) for _ in range(n)]
+    b = [rng.randrange(q) for _ in range(n)]
+    got = native.nwc_schoolbook(a, b, q)
+    want = reference.schoolbook_negacyclic(a, b, q)
+    assert got == want
+
+
+@needs_native
+def test_native_fast_matches_schoolbook(rng):
+    p = DILITHIUM_256
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    assert native.nwc_fast(a, b, p.q, p.psi) == native.nwc_schoolbook(a, b, p.q)
+
+
+@needs_native
+def test_native_dft_matches_cg_ntt(rng):
+    p = DILITHIUM_256
+    x = [rng.randrange(p.q) for _ in range(p.n)]
+    assert native.dft_direct(x, p.q, p.omega) == reference.cg_ntt(x, p.omega, p.q)
+
+
+@needs_native
+def test_native_fast_60bit_full_size(rng):
+    """Full 4096-point 60-bit check: native fast NTT vs the python golden —
+    feasible only because the oracle is native."""
+    p = P60_4096
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    got = native.nwc_fast(a, b, p.q, p.psi)
+    want = reference.nwc_poly_mult(a, b, p)
+    assert got == want

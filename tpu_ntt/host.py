@@ -1,0 +1,186 @@
+"""Host driver API — the TPU-native counterpart of the RoCC integration.
+
+The reference exposes the accelerator to host code through RoCC custom
+instructions (chipyard/NttRocc.scala:98-104, chipyard/ntt-test.c:5-11):
+load_a / load_b one coefficient at a time, start, poll status, read results
+one at a time.  On TPU the "accelerator" is a jitted program and the
+"memories" are device buffers, so the same contract becomes: stage inputs
+(device_put), launch (dispatch, async), poll (is-ready), read (device_get).
+
+``NttDevice`` reproduces that command surface faithfully (useful for porting
+host code and for the integration test mirroring chipyard/ntt-test.c), while
+``NttStream`` is the idiomatic high-throughput interface: double-buffered
+batched submission that overlaps host<->device transfer with compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import enum
+import time
+from typing import Callable, Deque, Optional, Sequence
+
+import jax
+import numpy as np
+
+from . import ntt as _ntt
+from .ntt import NttPlan
+from .params import NttParams, Reduction
+
+
+class Phase(enum.Enum):
+    """Driver-visible state (analog of the RTL debug_state / status bits,
+    rtl/ntt_poly_mult.sv:36-40, chipyard/NttRocc.scala:238-241)."""
+
+    IDLE = 0
+    LOADED_A = 1
+    LOADED_B = 2
+    RUNNING = 3
+    DONE = 4
+
+
+class NttDevice:
+    """Single-operation driver with explicit load/start/status/read.
+
+    Mirrors the RoCC funct set (0=start, 1=loadA, 2=loadB, 3=read,
+    4=status; chipyard/ntt-test.c:23-64).  Coefficients are staged
+    host-side and shipped in one transfer at start() — the serial
+    one-coefficient-per-instruction protocol is a bus artifact with no TPU
+    equivalent, but the API shape is preserved.
+    """
+
+    def __init__(self, params: NttParams, reduction: Reduction | None = None,
+                 device: Optional[jax.Device] = None):
+        self.plan = NttPlan(params, reduction)
+        self.device = device or jax.devices()[0]
+        self._fn = _ntt.jit_fn(self.plan, _ntt.nwc_poly_mult)
+        self._cyclic_fn = _ntt.jit_fn(self.plan, _ntt.cyclic_poly_mult)
+        self.n = params.n
+        self.q = params.q
+        self._a = np.zeros(self.n, dtype=object)
+        self._b = np.zeros(self.n, dtype=object)
+        self._result = None
+        self.phase = Phase.IDLE
+
+    # -- RoCC-shaped command surface ----------------------------------------
+    def load_a(self, addr: int, coeff: int) -> None:
+        self._check_coeff(addr, coeff)
+        self._a[addr] = coeff
+        self.phase = Phase.LOADED_A
+
+    def load_b(self, addr: int, coeff: int) -> None:
+        self._check_coeff(addr, coeff)
+        self._b[addr] = coeff
+        self.phase = Phase.LOADED_B
+
+    def load_poly(self, coeffs: Sequence[int], sel: int) -> None:
+        """Bulk load (sel: 0 = A, 1 = B), like the cocotb load_poly helper
+        (test/cocotb_tests/test_ntt_poly_mult.py:21-35)."""
+        arr = np.array([int(c) for c in coeffs], dtype=object)
+        if arr.shape != (self.n,):
+            raise ValueError(f"expected {self.n} coefficients")
+        if any(not 0 <= int(c) < self.q for c in arr):
+            raise ValueError("coefficient out of range [0, q)")
+        if sel == 0:
+            self._a = arr
+            self.phase = Phase.LOADED_A
+        else:
+            self._b = arr
+            self.phase = Phase.LOADED_B
+
+    def start(self, negacyclic: bool = True) -> None:
+        """Launch the poly-mult (async — returns immediately)."""
+        a = jax.device_put(self.plan.encode(self._a), self.device)
+        b = jax.device_put(self.plan.encode(self._b), self.device)
+        fn = self._fn if negacyclic else self._cyclic_fn
+        self._result = fn(a, b)
+        self.phase = Phase.RUNNING
+
+    def status(self) -> int:
+        """Bit 0 = done (the ntt_status() contract, ntt-test.c:33-36)."""
+        if self.phase is not Phase.RUNNING:
+            return int(self.phase is Phase.DONE)
+        leaves = jax.tree.leaves(self._result)
+        if all(l.is_ready() for l in leaves):
+            self.phase = Phase.DONE
+            return 1
+        return 0
+
+    def wait(self, timeout_s: float = 60.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        jax.block_until_ready(self._result)
+        if time.monotonic() > deadline:
+            raise TimeoutError("poly_mult did not finish in time")
+        self.phase = Phase.DONE
+
+    def read(self, addr: int) -> int:
+        """Read one result coefficient (funct 3)."""
+        return int(self.read_all()[addr])
+
+    def read_all(self) -> np.ndarray:
+        if self._result is None:
+            raise RuntimeError("start() has not been called")
+        jax.block_until_ready(self._result)
+        self.phase = Phase.DONE
+        return self.plan.decode(self._result)
+
+    def _check_coeff(self, addr: int, coeff: int) -> None:
+        if not 0 <= addr < self.n:
+            raise IndexError(f"addr {addr} out of range [0, {self.n})")
+        if not 0 <= coeff < self.q:
+            raise ValueError(f"coefficient {coeff} out of range [0, q)")
+
+
+class NttStream:
+    """Batched, double-buffered submission pipeline.
+
+    The idiomatic interface for throughput workloads (e.g. batch signing):
+    ``submit`` enqueues a batch without blocking; results are retrieved in
+    FIFO order with ``get``.  Device compute overlaps with host staging of
+    subsequent batches because dispatch is async.
+    """
+
+    def __init__(self, params: NttParams, reduction: Reduction | None = None,
+                 op: str = "nwc", max_inflight: int = 2):
+        self.plan = NttPlan(params, reduction)
+        ops: dict[str, Callable] = {
+            "nwc": _ntt.nwc_poly_mult,
+            "cyclic": _ntt.cyclic_poly_mult,
+            "fwd": _ntt.ntt_fwd,
+            "inv": _ntt.ntt_inv,
+        }
+        if op not in ops:
+            raise ValueError(f"op must be one of {sorted(ops)}")
+        self._unary = op in ("fwd", "inv")
+        self._fn = _ntt.jit_fn(self.plan, ops[op])
+        self._queue: Deque = collections.deque()
+        self.max_inflight = max_inflight
+
+    def submit(self, a: np.ndarray, b: np.ndarray | None = None) -> None:
+        """Enqueue a (batch, n) uint operation.  Applies backpressure when
+        more than ``max_inflight`` dispatches are unfinished: blocks until
+        the oldest completes (its result stays queued for ``get``)."""
+        inflight = [r for r in self._queue
+                    if not all(l.is_ready() for l in jax.tree.leaves(r))]
+        while len(inflight) >= self.max_inflight:
+            jax.block_until_ready(inflight.pop(0))
+        ea = self.plan.encode(np.asarray(a, dtype=object))
+        if self._unary:
+            self._queue.append(self._fn(ea))
+        else:
+            eb = self.plan.encode(np.asarray(b, dtype=object))
+            self._queue.append(self._fn(ea, eb))
+
+    def get(self) -> np.ndarray:
+        """Dequeue the oldest result (blocks until it is ready)."""
+        if not self._queue:
+            raise RuntimeError("no submitted work")
+        res = self._queue.popleft()
+        jax.block_until_ready(res)
+        return self.plan.decode(res)
+
+    def drain(self) -> list[np.ndarray]:
+        out = []
+        while self._queue:
+            out.append(self.get())
+        return out
