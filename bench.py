@@ -6,23 +6,28 @@ is the speedup over the reference accelerator's best published number for the
 same operation: 153.10 us per poly-mult on UltraScale+ @ 250 MHz
 (reference: reports/final-report.tex:1339-1347) = 6531.7 poly-mults/s.
 
-Secondary metrics (all four parameter sets, forward-NTT-only rates,
-butterflies/s) go to stderr so the stdout contract stays one line.
+Timing is done on-device (tpu_ntt.benchlib): the op runs inside a
+lax.fori_loop with data-dependent chaining and only a scalar probe is
+fetched, then constant overhead is removed by differencing two iteration
+counts — host wall-clock around tunneled dispatches is meaningless.
 
-Usage: python bench.py [--quick] [--metric nwc60|nwc24|fwd60|fwd24]
+Secondary metrics (other parameter sets, forward-NTT-only) go to stderr so
+the stdout contract stays one line.
+
+Usage: python bench.py [--quick] [--all] [--metric nwc60|nwc24|fwd60|fwd24]
 """
 
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
 import jax
 
-from tpu_ntt import PRESETS, NttPlan, nwc_poly_mult, nwc_ntt_fwd
-from tpu_ntt.ntt import jit_fn
+from tpu_ntt import PRESETS, NttPlan
+from tpu_ntt import ntt as _ntt
+from tpu_ntt.benchlib import device_seconds_per_iter
 
 # Reference FPGA best for the full 4096-pt poly-mult (153.10 us @ 250 MHz).
 BASELINE_NWC4096_PER_SEC = 1e6 / 153.10
@@ -46,29 +51,34 @@ def make_batch(plan, batch, seed):
     )
 
 
-def time_op(fn, args, iters, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def bench_case(name, batch, iters, kind="nwc"):
-    plan = NttPlan(PRESETS[name])
+    p = PRESETS[name]
+    plan = NttPlan(p)
     a = make_batch(plan, batch, 1)
+    impl = "xla-merged"
     if kind == "fwd":
-        fn, args = jit_fn(plan, nwc_ntt_fwd), (a,)
+        dt = device_seconds_per_iter(
+            lambda x: _ntt.nwc_fwd_merged(plan, x), a, iters=iters
+        )
+    elif p.width <= 24:
+        # fused Pallas MXU kernel — fastest measured 24-bit path
+        from tpu_ntt.kernels.mxu import MxuPlan
+
+        mp = MxuPlan(p)
+        b = make_batch(plan, batch, 2)
+        dt = device_seconds_per_iter(
+            lambda x, y: mp.nwc_poly_mult(x, y), a, b, iters=iters
+        )
+        impl = "pallas-mxu"
     else:
-        fn, args = jit_fn(plan, nwc_poly_mult), (a, make_batch(plan, batch, 2))
-    dt = time_op(fn, args, iters)
+        b = make_batch(plan, batch, 2)
+        dt = device_seconds_per_iter(
+            lambda x, y: _ntt.nwc_poly_mult_merged(plan, x, y), a, b,
+            iters=iters,
+        )
     rate = batch / dt
-    log(
-        f"  {name} {kind}: batch={batch} {dt * 1e3:.3f} ms/iter "
-        f"-> {rate:,.0f} op/s"
-    )
+    log(f"  {name} {kind} [{impl}]: batch={batch} {dt * 1e3:.3f} ms/iter "
+        f"-> {rate:,.0f} op/s")
     return rate
 
 
@@ -82,8 +92,8 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
-    batch = 64 if args.quick else 512
-    iters = 3 if args.quick else 10
+    batch = 256 if args.quick else 2048
+    iters = (2, 8) if args.quick else (10, 50)
 
     cases = {
         "nwc60": ("p60_4096", "nwc", BASELINE_NWC4096_PER_SEC),
@@ -94,14 +104,15 @@ def main():
 
     if args.all:
         for key, (name, kind, _) in cases.items():
-            bench_case(name, batch, iters, kind)
+            if key != args.metric:
+                bench_case(name, batch, iters, kind)
         for name in ("dilithium_256", "p24_1024"):
             bench_case(name, batch * 4, iters, "nwc")
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)
     print(json.dumps({
-        "metric": f"{kind}_poly_mult_{name}_per_sec"
+        "metric": f"nwc_poly_mult_{name}_per_sec"
         if kind == "nwc" else f"fwd_ntt_{name}_per_sec",
         "value": round(rate, 1),
         "unit": "op/s",

@@ -1,0 +1,68 @@
+"""Double-word (60-bit) MXU Pallas-kernel tests — interpret mode on CPU.
+
+Oracle: pure-Python goldens.  The 60-bit modulus is the reference's WIDTH=60
+configuration (rtl/ntt_poly_mult.sv:18-24)."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import P60_4096, DILITHIUM_256
+from tpu_ntt import reference
+from tpu_ntt.params import make_params
+from tpu_ntt.kernels.mxu64 import MxuPlan64
+
+P60_SMALL = make_params(256, P60_4096.q)
+
+
+def enc(rows):
+    return (
+        np.array([[x >> 32 for x in r] for r in rows], dtype=np.uint32),
+        np.array([[x & 0xFFFFFFFF for x in r] for r in rows], dtype=np.uint32),
+    )
+
+
+def dec(hi, lo):
+    return (np.asarray(hi).astype(object) << 32) + np.asarray(lo).astype(object)
+
+
+@pytest.mark.parametrize("p", [P60_SMALL, P60_4096], ids=lambda p: p.name)
+def test_nwc64_matches_golden(p, rng):
+    mp = MxuPlan64(p)
+    B = 2
+    a = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+    b = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    for i in range(B):
+        want = reference.nwc_poly_mult(a[i], b[i], p)
+        assert [int(v) for v in got[i]] == want
+
+
+def test_nwc64_boundary_and_padding(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    rows = mp.t + 1  # exercises the pad/unpad path
+    a = [[p.q - 1] * p.n for _ in range(rows)]
+    b = [[p.q - 1] * p.n] + [
+        [rng.randrange(p.q) for _ in range(p.n)] for _ in range(rows - 1)
+    ]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    for i in (0, rows - 1):
+        want = reference.nwc_poly_mult(a[i], b[i], p)
+        assert [int(v) for v in got[i]] == want
+
+
+def test_nwc64_vs_schoolbook_small(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    a = [[rng.randrange(p.q) for _ in range(p.n)]]
+    b = [[rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.schoolbook_negacyclic(a[0], b[0], p.q)
+    assert [int(v) for v in got[0]] == want
+
+
+def test_plan_validation():
+    with pytest.raises(ValueError):
+        MxuPlan64(make_params(128, P60_4096.q))  # n too small
+    # 24-bit modulus is allowed (the double-word kernel is just overkill)
+    MxuPlan64(DILITHIUM_256)

@@ -27,8 +27,11 @@ from .ntt import (  # noqa: F401
     cyclic_poly_mult,
     ntt_fwd,
     ntt_inv,
+    nwc_fwd_merged,
+    nwc_inv_merged,
     nwc_ntt_fwd,
     nwc_poly_mult,
+    nwc_poly_mult_merged,
     pointwise_mul,
     twist,
     untwist,

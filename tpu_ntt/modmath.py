@@ -114,6 +114,30 @@ def barrett_mul32(a: jnp.ndarray, b: jnp.ndarray, q: int, k: int, mu: int) -> jn
     return jnp.where(r >= q, r - U32(q), r)
 
 
+def shoup_mul32(a: jnp.ndarray, w: jnp.ndarray, w_shoup: jnp.ndarray,
+                q: int) -> jnp.ndarray:
+    """(a * w) mod q with w constant and w' = floor(w * 2^32 / q) precomputed.
+
+    r = a*w - floor(a*w' / 2^32)*q lies in [0, 2q) (Shoup/NTL; needs
+    q < 2^31), computed entirely in low 32-bit words — cheaper than Barrett
+    or Montgomery because only ONE widening multiply (for the high word of
+    a*w') is needed.
+    """
+    t_hi, _ = mul32(a, w_shoup)
+    r = a * w - t_hi * U32(q)  # wrapping; true r < 2q < 2^32 so exact
+    return jnp.where(r >= q, r - U32(q), r)
+
+
+def shoup_mul64(a: Pair, w: Pair, w_shoup: Pair, q: int) -> Pair:
+    """64-bit Shoup multiply: (a * w) mod q, q < 2^62, w' = floor(w*2^64/q)."""
+    t3, t2, _, _ = mul64_full(a, w_shoup)  # floor(a*w' / 2^64)
+    aw = mul64_lo(a, w)
+    tq = mul64_lo((t3, t2), const64(q, a[1]))
+    r = sub64(aw, tq)  # true r < 2q < 2^63: wrapping-exact
+    qq = const64(q, a[1])
+    return select64(ge64(r, qq), sub64(r, qq), r)
+
+
 def mont_mul32(a: jnp.ndarray, b: jnp.ndarray, q: int, q_prime: int) -> jnp.ndarray:
     """REDC(a * b) = a*b*R^-1 mod q with R = 2^32, q < 2^31.
 
@@ -272,7 +296,7 @@ class Ring32:
 
     nlimbs = 1
 
-    def __init__(self, p: NttParams, reduction: Reduction = Reduction.BARRETT):
+    def __init__(self, p: NttParams, reduction: Reduction = Reduction.SHOUP):
         if p.width > 30:
             raise ValueError("Ring32 requires q < 2^30; use Ring64")
         self.p = p
@@ -296,6 +320,8 @@ class Ring32:
 
     def mul_tw(self, a, tw):
         """Product with a precomputed twiddle (encoded via encode_tw)."""
+        if self.reduction is Reduction.SHOUP:
+            return shoup_mul32(a, tw[0], tw[1], self.q)
         if self.reduction is Reduction.MONTGOMERY:
             return mont_mul32(a, tw, self.q, self.p.mont_q_prime)
         return barrett_mul32(a, tw, self.q, self.p.barrett_k, self.p.barrett_mu)
@@ -312,8 +338,13 @@ class Ring32:
         return encode32(values)
 
     def encode_tw(self, values: Sequence[int]):
-        """Twiddle encoding: Montgomery backend stores tw * R mod q so that
-        mont_mul(a, tw_enc) returns a*tw in standard domain directly."""
+        """Twiddle encoding.  Montgomery stores tw * R mod q so that
+        mont_mul(a, tw_enc) returns a*tw in standard domain directly; Shoup
+        stores the (w, floor(w * 2^32 / q)) pair."""
+        if self.reduction is Reduction.SHOUP:
+            w = encode32(values)
+            ws = encode32([(int(v) << 32) // self.q for v in values])
+            return (w, ws)
         if self.reduction is Reduction.MONTGOMERY:
             values = [self.p.to_mont(v) for v in values]
         return encode32(values)
@@ -327,7 +358,7 @@ class Ring64:
 
     nlimbs = 2
 
-    def __init__(self, p: NttParams, reduction: Reduction = Reduction.MONTGOMERY):
+    def __init__(self, p: NttParams, reduction: Reduction = Reduction.SHOUP):
         self.p = p
         self.q = p.q
         if reduction is Reduction.SIMPLE:
@@ -353,13 +384,18 @@ class Ring64:
         return select64(ge64(r, qq), sub64(r, qq), r)
 
     def mul(self, a, b):
-        if self.reduction is Reduction.MONTGOMERY:
-            ab_r_inv = mont_mul64(a, b, self.q, self.p.mont_q_prime)
+        if self.reduction in (Reduction.MONTGOMERY, Reduction.SHOUP):
+            # Shoup applies only to constant operands; variable*variable
+            # products (pointwise) use Montgomery double-REDC.
+            qp = self.p.mont_q_prime
+            ab_r_inv = mont_mul64(a, b, self.q, qp)
             r2 = const64(self.p.mont_r2_mod_q, a[1])
-            return mont_mul64(ab_r_inv, r2, self.q, self.p.mont_q_prime)
+            return mont_mul64(ab_r_inv, r2, self.q, qp)
         return self._barrett(a, b)
 
     def mul_tw(self, a, tw):
+        if self.reduction is Reduction.SHOUP:
+            return shoup_mul64(a, tw[0], tw[1], self.q)
         if self.reduction is Reduction.MONTGOMERY:
             return mont_mul64(a, tw, self.q, self.p.mont_q_prime)
         return self._barrett(a, tw)
@@ -374,6 +410,10 @@ class Ring64:
         return encode64(values)
 
     def encode_tw(self, values: Sequence[int]):
+        if self.reduction is Reduction.SHOUP:
+            w = encode64(values)
+            ws = encode64([(int(v) << 64) // self.q for v in values])
+            return (w, ws)
         if self.reduction is Reduction.MONTGOMERY:
             values = [self.p.to_mont(v) for v in values]
         return encode64(values)
@@ -383,7 +423,12 @@ class Ring64:
 
 
 def make_ring(p: NttParams, reduction: Reduction | None = None):
-    """Pick the natural ring for a parameter set (width <= 30 -> Ring32)."""
+    """Pick the natural ring for a parameter set (width <= 30 -> Ring32).
+
+    Default backend is SHOUP: measured fastest on TPU for the twiddle
+    multiplies that dominate every transform (one widening multiply per
+    modmul instead of Barrett's two / Montgomery's three).
+    """
     if p.width <= 30:
-        return Ring32(p, reduction or Reduction.BARRETT)
-    return Ring64(p, reduction or Reduction.MONTGOMERY)
+        return Ring32(p, reduction or Reduction.SHOUP)
+    return Ring64(p, reduction or Reduction.SHOUP)

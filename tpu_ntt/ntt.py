@@ -72,6 +72,24 @@ class NttPlan:
             [v * p.n_inv % q for v in tables.psi_inv_powers(p)]
         )
 
+        # Merged-psi tables (second NWC formulation, reference:
+        # test/refs/fast_ntt_negacyclic_convolution.py): psi powers in
+        # bit-reversed index order, sliced per stage.  merged_tw[s] has one
+        # twiddle per butterfly group of the CT stage with m = 2^s groups.
+        psi_pows = tables.psi_powers(p)
+        psi_inv_pows = tables.psi_inv_powers(p)
+        brv = [psi_pows[int(f"{j:0{p.log_n}b}"[::-1], 2)] for j in range(n)]
+        brv_inv = [
+            psi_inv_pows[int(f"{j:0{p.log_n}b}"[::-1], 2)] for j in range(n)
+        ]
+        self.merged_tw = [
+            enc_tw(brv[m : 2 * m]) for m in (1 << s for s in range(self.log_n))
+        ]
+        self.merged_tw_inv = [
+            enc_tw(brv_inv[h : 2 * h])
+            for h in (1 << s for s in range(self.log_n))
+        ]
+
     # -- host-side conversion ------------------------------------------------
     def encode(self, coeffs: Sequence[int] | np.ndarray):
         """Python ints / numpy -> ring element (host numpy limbs)."""
@@ -151,6 +169,80 @@ def nwc_ntt_fwd(plan: NttPlan, x: Elem) -> Elem:
     """Twist + forward NTT (the benchmarked 'forward NTT' of the reference
     CPU harness, software_benchmark/benchmark_ntt.cpp:207-211)."""
     return ntt_fwd(plan, twist(plan, x))
+
+
+# ---------------------------------------------------------------------------
+# Merged-psi negacyclic transforms (no twist pass, no bit-reverse gather)
+# ---------------------------------------------------------------------------
+#
+# Second NWC formulation of the reference
+# (test/refs/fast_ntt_negacyclic_convolution.py:29-154): the psi powers are
+# folded into the stage twiddles of a decimation-in-time forward (natural
+# order in, bit-reversed out) and a Gentleman-Sande inverse (bit-reversed in,
+# natural out).  Pointwise multiplication happens in the bit-reversed
+# transform domain, so a full product needs zero permutations and zero
+# twist passes — on TPU every stage is a static reshape into contiguous
+# block halves, the friendliest possible layout for the vector unit.
+
+
+def _shape_stage(a: jnp.ndarray, groups: int) -> jnp.ndarray:
+    return a.reshape(a.shape[:-1] + (groups, 2, a.shape[-1] // (2 * groups)))
+
+
+def nwc_fwd_merged(plan: NttPlan, x: Elem) -> Elem:
+    """Negacyclic forward transform: NTT(psi-twisted x) in bit-reversed
+    order, computed with merged twiddles (CT butterflies, NO -> BO)."""
+    ring = plan.ring
+    n = plan.n
+    for s in range(plan.log_n):
+        m = 1 << s  # butterfly groups this stage
+        tw = _tmap(lambda t: jnp.asarray(t).reshape(m, 1), plan.merged_tw[s])
+        g = _tmap(lambda a: _shape_stage(a, m), x)
+        u = _tmap(lambda a: a[..., 0, :], g)
+        v = ring.mul_tw(_tmap(lambda a: a[..., 1, :], g), tw)
+        hi = ring.add(u, v)
+        lo = ring.sub(u, v)
+        x = _tmap(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(
+                a.shape[:-2] + (n,)
+            ),
+            hi,
+            lo,
+        )
+    return x
+
+
+def nwc_inv_merged(plan: NttPlan, x: Elem) -> Elem:
+    """Inverse of nwc_fwd_merged (GS butterflies, BO -> NO), including the
+    n^-1 scale and the psi^-1 untwist (both folded into the twiddles)."""
+    ring = plan.ring
+    n = plan.n
+    for s in range(plan.log_n - 1, -1, -1):
+        h = 1 << s
+        tw = _tmap(
+            lambda t: jnp.asarray(t).reshape(h, 1), plan.merged_tw_inv[s]
+        )
+        g = _tmap(lambda a: _shape_stage(a, h), x)
+        u = _tmap(lambda a: a[..., 0, :], g)
+        v = _tmap(lambda a: a[..., 1, :], g)
+        hi = ring.add(u, v)
+        lo = ring.mul_tw(ring.sub(u, v), tw)
+        x = _tmap(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(
+                a.shape[:-2] + (n,)
+            ),
+            hi,
+            lo,
+        )
+    return ring.mul_tw(x, _tmap(jnp.asarray, plan.n_inv_tw))
+
+
+def nwc_poly_mult_merged(plan: NttPlan, a: Elem, b: Elem) -> Elem:
+    """Negacyclic product via the merged-twiddle path — same result as
+    nwc_poly_mult, bit-exact, with no permutation or twist passes."""
+    fa = nwc_fwd_merged(plan, a)
+    fb = nwc_fwd_merged(plan, b)
+    return nwc_inv_merged(plan, plan.ring.mul(fa, fb))
 
 
 _JIT_CACHE: dict = {}

@@ -29,6 +29,11 @@ class Reduction(enum.Enum):
     SIMPLE = "simple"  # direct remainder (golden / host path only)
     BARRETT = "barrett"
     MONTGOMERY = "montgomery"
+    # Shoup precomputed-quotient multiply for constant (twiddle) operands:
+    # w' = floor(w * 2^word / q) stored alongside w; a*w mod q then needs
+    # only mulhi(a, w'), two low multiplies and one conditional subtract.
+    # Falls back to Barrett/Montgomery for variable*variable products.
+    SHOUP = "shoup"
 
 
 def _is_probable_prime(n: int) -> bool:
