@@ -228,13 +228,14 @@ class MxuPlan:
         w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
         w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
         tw, m, mi, untw = twist[...], mid[...], mid_inv[...], untwist[...]
-        at = self._emul(a_ref[0], tw)  # twist + Montgomery entry
-        bt = self._emul(b_ref[0], tw)
-        fa = self._fwd_group(at, w1_l, w2_l, m)
-        fb = self._fwd_group(bt, w1_l, w2_l, m)
-        c = self._emul(fa, fb)  # pointwise, stays in domain
-        c = self._inv_group(c, w1i_l, w2i_l, mi)
-        out_ref[0] = self._emul(c, untw)  # untwist + n^-1 + domain exit
+        for g in range(a_ref.shape[0]):
+            at = self._emul(a_ref[g], tw)  # twist + Montgomery entry
+            bt = self._emul(b_ref[g], tw)
+            fa = self._fwd_group(at, w1_l, w2_l, m)
+            fb = self._fwd_group(bt, w1_l, w2_l, m)
+            c = self._emul(fa, fb)  # pointwise, stays in domain
+            c = self._inv_group(c, w1i_l, w2i_l, mi)
+            out_ref[g] = self._emul(c, untw)  # untwist + n^-1 + exit
 
     def _cyclic_kernel(
         self, a_ref, b_ref, w1, w2, w1i, w2i, enter, mid, mid_inv, exit_scale,
@@ -243,43 +244,54 @@ class MxuPlan:
         w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
         w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
         en, m, mi, ex = enter[...], mid[...], mid_inv[...], exit_scale[...]
-        at = self._emul(a_ref[0], en)
-        bt = self._emul(b_ref[0], en)
-        fa = self._fwd_group(at, w1_l, w2_l, m)
-        fb = self._fwd_group(bt, w1_l, w2_l, m)
-        c = self._emul(fa, fb)
-        c = self._inv_group(c, w1i_l, w2i_l, mi)
-        out_ref[0] = self._emul(c, ex)  # n^-1 scale + domain exit
+        for g in range(a_ref.shape[0]):
+            at = self._emul(a_ref[g], en)
+            bt = self._emul(b_ref[g], en)
+            fa = self._fwd_group(at, w1_l, w2_l, m)
+            fb = self._fwd_group(bt, w1_l, w2_l, m)
+            c = self._emul(fa, fb)
+            c = self._inv_group(c, w1i_l, w2i_l, mi)
+            out_ref[g] = self._emul(c, ex)  # n^-1 scale + domain exit
 
     def _fwd_kernel(self, x_ref, w1, w2, enter, mid, exit_one, out_ref):
         w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
-        xt = self._emul(x_ref[0], enter[...])
-        y = self._fwd_group(xt, w1_l, w2_l, mid[...])
-        out_ref[0] = self._emul(y, exit_one[...])
+        for g in range(x_ref.shape[0]):
+            xt = self._emul(x_ref[g], enter[...])
+            y = self._fwd_group(xt, w1_l, w2_l, mid[...])
+            out_ref[g] = self._emul(y, exit_one[...])
 
     def _inv_kernel(self, x_ref, w1i, w2i, enter, mid_inv, exit_scale, out_ref):
         w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
-        xt = self._emul(x_ref[0], enter[...])
-        y = self._inv_group(xt, w1i_l, w2i_l, mid_inv[...])
-        out_ref[0] = self._emul(y, exit_scale[...])
+        for g in range(x_ref.shape[0]):
+            xt = self._emul(x_ref[g], enter[...])
+            y = self._inv_group(xt, w1i_l, w2i_l, mid_inv[...])
+            out_ref[g] = self._emul(y, exit_scale[...])
 
     # ------------------------------------------------------------------
     # pallas_call wrappers
     # ------------------------------------------------------------------
 
+    #: groups of 128x128 processed per grid step (amortizes per-step
+    #: pipeline overhead; each group is t polynomials)
+    groups_per_step = 4
+
     def _group_batch(self, x):
-        """(B, n) uint32 -> (G, 128, 128) groups of t polys, plus pad info."""
+        """(B, n) uint32 -> (G, 128, 128) groups of t polys, plus pad info.
+
+        G is padded to a multiple of groups_per_step."""
         b = x.shape[0]
-        pad = (-b) % self.t
+        step = self.t * self.groups_per_step
+        pad = (-b) % step
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), U32)], axis=0)
         g = (b + pad) // self.t
         return x.reshape(g, LANES, LANES), b
 
     def _call(self, kernel, data_args, table_args, interpret=False):
+        gps = self.groups_per_step
         g = data_args[0].shape[0]
         data_spec = pl.BlockSpec(
-            (1, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (gps, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
             (self.nlimbs, LANES, LANES), lambda i: (0, 0, 0),
@@ -293,7 +305,7 @@ class MxuPlan:
         ]
         return pl.pallas_call(
             kernel,
-            grid=(g,),
+            grid=(g // gps,),
             out_shape=jax.ShapeDtypeStruct((g, LANES, LANES), U32),
             in_specs=in_specs,
             out_specs=data_spec,

@@ -105,6 +105,22 @@ class NttPlan:
         vals = self.ring.decode(elem)
         return np.array(vals, dtype=object).reshape(shape)
 
+    # -- fast vectorized conversion (no Python-int loop; production path) ---
+    def encode_u64(self, coeffs: np.ndarray):
+        """uint64 numpy array of residues in [0, q) -> ring element."""
+        arr = np.ascontiguousarray(coeffs, dtype=np.uint64)
+        if self.ring.nlimbs == 1:
+            return arr.astype(np.uint32)
+        return ((arr >> np.uint64(32)).astype(np.uint32),
+                (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    def decode_u64(self, elem) -> np.ndarray:
+        """Ring element -> uint64 numpy array (valid for q < 2^64)."""
+        if self.ring.nlimbs == 1:
+            return np.asarray(elem).astype(np.uint64)
+        hi, lo = (np.asarray(x, dtype=np.uint64) for x in elem)
+        return (hi << np.uint64(32)) | lo
+
 
 def _butterfly_stage(ring, x: Elem, tw_np) -> Elem:
     """One CG stage over the last axis: (..., n) -> (..., n)."""
