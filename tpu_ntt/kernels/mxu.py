@@ -71,9 +71,17 @@ class MxuPlan:
 
     Requires q < 2^25 (REDC validity, see module docstring) and
     256 <= n <= 16384 with n % 128 == 0.
+
+    ``int8_path=True`` runs the limb matmuls on the int8 MXU pipeline
+    (2x the bf16 rate) using the zero-point trick: both operands' 8-bit
+    limbs are offset by -128 into int8 range and the exact unsigned product
+    is recovered as  P = P' + 128*colsum(X') + [128*rowsum(W') + 128^2*K]
+    with the bracketed part precomputed host-side.  This also removes every
+    int<->float conversion from the inner loop (int8 matmuls accumulate
+    straight to int32).
     """
 
-    def __init__(self, p: NttParams):
+    def __init__(self, p: NttParams, int8_path: bool = True):
         if p.width > 24:
             raise ValueError(
                 f"MxuPlan requires q < 2^25 (got {p.width}-bit q); use the "

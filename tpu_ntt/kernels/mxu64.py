@@ -1,18 +1,29 @@
-"""Fused 60-bit negacyclic poly-mult Pallas kernel (MXU, double-word).
+"""Fused 60-bit negacyclic poly-mult Pallas kernel (int8 MXU, double-word).
 
-Extends the 24-bit design of mxu.py to moduli q < 2^62 — the reference's
-WIDTH=60 configuration (rtl/ntt_poly_mult.sv:18-24), whose C++ baseline needs
+Extends the design of mxu.py to moduli q < 2^62 — the reference's WIDTH=60
+configuration (rtl/ntt_poly_mult.sv:18-24), whose C++ baseline needs
 unsigned __int128 (software_benchmark/benchmark_ntt_60bit.cpp:20-24).  On the
 TPU there is no wide integer at all, so:
 
 * Ring elements are (hi, lo) uint32 pairs (modmath.Ring64 layout).
-* The four-step matmuls decompose both operands into EIGHT 8-bit limbs
-  lifted to bf16 — 64 MXU products per matmul step, every f32 partial sum
-  < 128 * 255^2 < 2^24 (exact).  The 15 limb-diagonal sums assemble into a
-  5-word (160-bit capacity) accumulator holding S < 128 * q^2 < 2^129.
-* Reduction: four chained 32-bit Montgomery steps (REDC by 2^32 each),
-  computing S * 2^-128 mod q.  The transform matrices are therefore stored
-  as w * 2^128 mod q ("Montgomery-128"), making each matmul step
+* The four-step matmuls decompose both operands into EIGHT 8-bit limbs.
+  Limbs are offset by -128 into int8 and multiplied on the int8 MXU
+  pipeline (2x the bf16 rate, int32 accumulation, zero float casts).  The
+  exact unsigned total is recovered with the value-level zero-point
+  identity (K = 128 contraction length, S8 = sum_j 2^(8j), j < 8):
+
+      S[r,c] = D'[r,c] + 128*S8*cx[c] + 128*S8*rw[r] - 128^2*K*S8^2
+
+  where D' is the limb-diagonal-assembled int8 matmul part, cx[c] the
+  column sum of the full x values (computed in-kernel, one reduction per
+  step), and rw[r] the row sum of the full matrix entries (host-side).
+  The rw/constant parts — and the per-diagonal +2^25 offsets that keep
+  every assembled word unsigned — are folded into a precomputed 5-word
+  accumulator BASE, stored mod 2^160 (two's complement), so wrapping
+  uint32 arithmetic reproduces S exactly.
+* S < 128*q^2 < 2^131 reduces by four chained 32-bit Montgomery steps
+  (REDC by 2^32 each), i.e. S * 2^-128 mod q; transform matrices are
+  stored as w * 2^128 mod q ("Montgomery-128"), making each matmul step
   domain-neutral.
 * Elementwise steps (psi-twist, mid twiddle, pointwise, untwist) use the
   double-word Montgomery multiply of modmath (R = 2^64).  Domain plan: the
@@ -35,9 +46,14 @@ from ..modmath import mont_mul64, mul32
 from ..params import NttParams
 
 U32 = jnp.uint32
+I32 = jnp.int32
 LANES = 128
 NLIMBS = 8  # 8-bit limbs covering q < 2^62 operands
-NWORDS = 5  # 32-bit accumulator words covering S < 2^129
+NWORDS = 5  # 32-bit accumulator words covering S < 2^160
+S8 = sum(1 << (8 * j) for j in range(NLIMBS))  # 0x0101..01 (8 bytes)
+KS = 128 * S8  # zero-point correction multiplier (64-bit constant)
+DIAG_OFF = 1 << 25  # per-diagonal offset making assembled diagonals unsigned
+NDIAGS = 2 * NLIMBS - 1
 
 
 def _pow_table(base: int, q: int, count: int) -> list[int]:
@@ -48,11 +64,17 @@ def _pow_table(base: int, q: int, count: int) -> list[int]:
     return out
 
 
-class MxuPlan64:
-    """Host-side constants for the double-word MXU kernels.
+def _words160(v: int) -> list[int]:
+    """Integer -> NWORDS uint32 words, two's complement mod 2^160."""
+    v %= 1 << (32 * NWORDS)
+    return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(NWORDS)]
 
-    Requires 2^24 <= q < 2^62 (below that use MxuPlan) and n in [256, 16384]
-    with 128 | n.
+
+class MxuPlan64:
+    """Host-side constants for the double-word int8-MXU kernels.
+
+    Requires q < 2^62 and n in [256, 16384] with 128 | n.  (For q < 2^25
+    the single-word MxuPlan is faster.)
     """
 
     def __init__(self, p: NttParams):
@@ -67,10 +89,10 @@ class MxuPlan64:
         self.q_hi = q >> 32
         # -q^-1 mod 2^32 (low word of the R=2^64 constant works: an inverse
         # mod 2^64 is an inverse mod 2^32)
-        self.q_prime32 = p.mont_q_prime & 0xFFFFFFFF
         self.q_prime64 = p.mont_q_prime if p.mont_bits == 64 else (
             (-pow(q, -1, 1 << 64)) % (1 << 64)
         )
+        self.q_prime32 = self.q_prime64 & 0xFFFFFFFF
         self.n1 = p.n // LANES
         self.n2 = LANES
         self.t = LANES // self.n1
@@ -98,21 +120,36 @@ class MxuPlan64:
                 out[b * n1 : (b + 1) * n1, b * n1 : (b + 1) * n1] = m
             return out
 
-        def limbs_bf16(m: np.ndarray) -> jnp.ndarray:
-            stack = [
-                np.vectorize(lambda v: (int(v) >> (8 * i)) & 0xFF)(m).astype(
-                    np.float32
-                )
-                for i in range(NLIMBS)
-            ]
-            return jnp.asarray(np.stack(stack), dtype=jnp.bfloat16)
+        def make_w(m: np.ndarray, left: bool):
+            """(int8 limb stack, BASE word stack) for one matrix."""
+            limbs = np.stack(
+                [
+                    np.vectorize(lambda v: ((int(v) >> (8 * i)) & 0xFF) - 128)(
+                        m
+                    ).astype(np.int8)
+                    for i in range(NLIMBS)
+                ]
+            )
+            # line sums of the full values along the contraction axis:
+            # left (W@X): rw[r] = sum_k W[r,k]; right (X@W): cw[c] = sum_k W[k,c]
+            sums = m.sum(axis=1 if left else 0)  # object ints, length 128
+            off_total = sum(DIAG_OFF << (8 * k) for k in range(NDIAGS))
+            const = -(128 * 128 * LANES * S8 * S8) - off_total
+            base_lines = [int(KS * int(s) + const) for s in sums]
+            words = np.zeros((NWORDS, LANES, LANES), dtype=np.uint32)
+            for idx, v in enumerate(base_lines):
+                ws = _words160(v)
+                for wi in range(NWORDS):
+                    if left:
+                        words[wi, idx, :] = ws[wi]
+                    else:
+                        words[wi, :, idx] = ws[wi]
+            return jnp.asarray(limbs), jnp.asarray(words)
 
-        # Forward: left matmul domain-neutral (*2^128); right matmul enters
-        # Montgomery-64 (*2^192).  Inverse: both domain-preserving (*2^128).
-        self.w1_limbs = limbs_bf16(block_diag(dft_matrix(n1, w1, r128)))
-        self.w2_limbs = limbs_bf16(dft_matrix(n2, w2, r192))
-        self.w1i_limbs = limbs_bf16(block_diag(dft_matrix(n1, w1i, r128)))
-        self.w2i_limbs = limbs_bf16(dft_matrix(n2, w2i, r128))
+        self.w1 = make_w(block_diag(dft_matrix(n1, w1, r128)), left=True)
+        self.w2 = make_w(dft_matrix(n2, w2, r192), left=False)
+        self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r128)), left=True)
+        self.w2i = make_w(dft_matrix(n2, w2i, r128), left=False)
 
         def tiled_pair(fn):
             """(hi, lo) uint32 pair tables, tiled over the t polynomials."""
@@ -146,39 +183,96 @@ class MxuPlan64:
     # In-kernel primitives ((hi, lo) pairs of (128, 128) uint32)
     # ------------------------------------------------------------------
 
-    def _to_limbs(self, hi, lo):
+    def _to_limbs_i8(self, hi, lo):
         out = []
         for i in range(NLIMBS):
             word = lo if i < 4 else hi
             sh = 8 * (i % 4)
-            out.append(
-                ((word >> sh) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-                .astype(jnp.bfloat16)
-            )
+            limb = ((word >> sh) & 0xFF).astype(I32) - 128
+            out.append(limb.astype(jnp.int8))
         return out
+
+    @staticmethod
+    def _wide_line_sum(hi, lo, axis: int):
+        """Exact sum of the 64-bit (hi, lo) values along one axis of a
+        (128, 128) block -> three uint32 words (value < 2^68).
+
+        uint32 sums would wrap, so each word is split into 16-bit halves
+        whose partial sums stay < 2^23.
+        """
+        m16 = U32(0xFFFF)
+
+        def split_sum(w):
+            # Mosaic lacks unsigned reductions: sum the halves as int32
+            # (partials < 2^23, exact) and view back as uint32.
+            lo16 = jnp.sum((w & m16).astype(I32), axis=axis, keepdims=True)
+            hi16 = jnp.sum((w >> 16).astype(I32), axis=axis, keepdims=True)
+            return lo16.astype(U32), hi16.astype(U32)  # each < 2^23
+
+        lo_l, lo_h = split_sum(lo)
+        hi_l, hi_h = split_sum(hi)
+        # value = lo_l + (lo_h << 16) + 2^32 * (hi_l + (hi_h << 16));
+        # the half-sums are < 2^23 so each shifted add can spill 7 bits
+        # plus one carry — track both explicitly.
+        w0 = lo_l + (lo_h << 16)
+        c = (w0 < lo_l).astype(U32)
+        spill0 = (lo_h >> 16) + c
+        w1 = hi_l + (hi_h << 16)
+        c1 = (w1 < hi_l).astype(U32)
+        w1b = w1 + spill0
+        c1b = (w1b < w1).astype(U32)
+        w2 = (hi_h >> 16) + c1 + c1b
+        return w0, w1b, w2
+
+    def _corr_words(self, hi, lo, axis: int):
+        """128*S8 * (line sum of x) as NWORDS uint32 words (broadcastable)."""
+        c0, c1, c2 = self._wide_line_sum(hi, lo, axis)
+        ks_lo = U32(KS & 0xFFFFFFFF)
+        ks_hi = U32(KS >> 32)
+        # (c2:c1:c0) * (ks_hi:ks_lo): 3x2 word product -> 5 words
+        words = [jnp.zeros_like(c0) for _ in range(NWORDS)]
+
+        def add_at(idx, h, l):
+            carry = jnp.zeros_like(l)
+            for wi, add in ((idx, l), (idx + 1, h)):
+                if wi >= NWORDS:
+                    break
+                s = words[wi] + add
+                c = (s < add).astype(U32)
+                s2 = s + carry
+                c2_ = (s2 < s).astype(U32)
+                words[wi] = s2
+                carry = c + c2_
+            wi = idx + 2
+            while wi < NWORDS:
+                s = words[wi] + carry
+                carry = (s < carry).astype(U32)
+                words[wi] = s
+                wi += 1
+
+        for ci, c in enumerate((c0, c1, c2)):
+            h1, l1 = mul32(c, jnp.broadcast_to(ks_lo, c.shape).astype(U32))
+            add_at(ci, h1, l1)
+            h2, l2 = mul32(c, jnp.broadcast_to(ks_hi, c.shape).astype(U32))
+            add_at(ci + 1, h2, l2)
+        return words
 
     def _redc128(self, words):
         """S * 2^-128 mod q for S held in NWORDS uint32 words (LSW first).
 
         Four chained Montgomery-32 steps; each clears the low word and
-        shifts down by 32 bits.  After step k the value is
-        (S + sum m_j q 2^(32j)) / 2^(32(k+1)) — always < 2^(129-32k) + 2q,
-        so the word count shrinks by one per step.
+        shifts down by 32 bits.
         """
         q_lo = U32(self.q_lo)
         q_hi = U32(self.q_hi)
         qp = U32(self.q_prime32)
         w = list(words)
-        for step in range(4):
+        for _ in range(4):
             m = w[0] * qp  # mod 2^32
             mq0_hi, mq0_lo = mul32(m, jnp.broadcast_to(q_lo, m.shape).astype(U32))
             mq1_hi, mq1_lo = mul32(m, jnp.broadcast_to(q_hi, m.shape).astype(U32))
-            # add m*q = (mq1_hi:mq1_lo:0) << 32 ... layout:
-            #   word0 += mq0_lo      (result is 0 mod 2^32 by construction)
-            #   word1 += mq0_hi + mq1_lo (+carry0)
-            #   word2 += mq1_hi (+carry1) ...
-            s0 = w[0] + mq0_lo
-            c0 = (s0 < w[0]).astype(U32)  # s0 == 0 unless both were 0
+            s0 = w[0] + mq0_lo  # == 0 mod 2^32 by construction
+            c0 = (s0 < w[0]).astype(U32)
             s1 = w[1] + mq0_hi
             c1a = (s1 < w[1]).astype(U32)
             s1b = s1 + mq1_lo
@@ -194,12 +288,9 @@ class MxuPlan64:
             s3 = w[3] + carry2
             c3 = (s3 < w[3]).astype(U32)
             s4 = w[4] + c3
-            # shift down one word (s0 is zero)
             w = [s1c, s2b, s3, s4, jnp.zeros_like(s4)]
-        # now value = w[1]:w[0] (< 2q after the chain), w[2..] == 0
         t_hi, t_lo = w[1], w[0]
-        # conditional subtract q (at most twice for safety margin)
-        for _ in range(2):
+        for _ in range(2):  # conditional subtract q (margin: t < 2q + eps)
             ge = (t_hi > q_hi) | ((t_hi == q_hi) & (t_lo >= q_lo))
             new_lo = t_lo - q_lo
             borrow = (t_lo < q_lo).astype(U32)
@@ -208,58 +299,69 @@ class MxuPlan64:
             t_lo = jnp.where(ge, new_lo, t_lo)
         return t_hi, t_lo
 
-    def _matmul_mont(self, x, w_limbs, left: bool):
-        """REDC128( W @ x ) or REDC128( x @ W ): x is an (hi, lo) pair."""
+    def _matmul_mont(self, x, w_set, left: bool):
+        """REDC128( W @ x ) or REDC128( x @ W ) on the int8 MXU path."""
         hi, lo = x
-        xl = self._to_limbs(hi, lo)
-        diags: list = [None] * (2 * NLIMBS - 1)
+        w_limbs, base = w_set
+        xl = self._to_limbs_i8(hi, lo)
+        diags: list = [None] * NDIAGS
         for i in range(NLIMBS):
             for j in range(NLIMBS):
                 if left:
                     prod = jnp.dot(
-                        w_limbs[j], xl[i], preferred_element_type=jnp.float32
+                        w_limbs[j], xl[i], preferred_element_type=I32
                     )
                 else:
                     prod = jnp.dot(
-                        xl[i], w_limbs[j], preferred_element_type=jnp.float32
+                        xl[i], w_limbs[j], preferred_element_type=I32
                     )
-                prod = prod.astype(jnp.int32).astype(U32)  # < 2^24 exact
                 k = i + j
                 diags[k] = prod if diags[k] is None else diags[k] + prod
-        # Assemble S = sum diags[k] << 8k into NWORDS words.  First merge
-        # each word-aligned group of four diagonals into an exact 64-bit
-        # pair (diag < 2^27, shifted terms < 2^51, sum of four < 2^53), then
-        # ripple-add the pairs into the word accumulator with full carry
-        # propagation.
-        zero = jnp.zeros_like(hi)
-        pairs = []
-        for j in range(4):
-            group = diags[4 * j : 4 * j + 4]
-            p_lo, p_hi = group[0] if group else zero, zero
+        # offset diagonals into unsigned range: |diag| <= 8*128*128^2 < 2^25
+        diags = [(d + I32(DIAG_OFF)).astype(U32) for d in diags]
+
+        # start from the precomputed BASE words (carry the W-line sums, the
+        # zero-point constant and the diagonal offsets, mod 2^160)
+        words = [base[wi] for wi in range(NWORDS)]
+
+        # add the data-dependent correction 128*S8*(line sum of x)
+        corr = self._corr_words(hi, lo, axis=0 if left else 1)
+        carry = jnp.zeros_like(lo)
+        new_words = []
+        for wi in range(NWORDS):
+            s = words[wi] + corr[wi]
+            c1 = (s < corr[wi]).astype(U32)
+            s2 = s + carry
+            c2 = (s2 < s).astype(U32)
+            new_words.append(s2)
+            carry = c1 + c2
+        words = new_words
+
+        # add the assembled diagonals: group word-aligned fours into exact
+        # 64-bit pairs, then ripple into the accumulator
+        zero = jnp.zeros_like(lo)
+        for g in range(4):
+            group = diags[4 * g : 4 * g + 4]
+            if not group:
+                break
+            p_lo, p_hi = group[0], zero
             for idx, s in enumerate(group[1:], start=1):
                 sh = 8 * idx
                 add_lo = s << sh
-                new_lo = p_lo + add_lo
-                carry = (new_lo < p_lo).astype(U32)
-                p_lo = new_lo
-                p_hi = p_hi + (s >> (32 - sh)) + carry  # p_hi < 2^21: exact
-            pairs.append((p_hi, p_lo))
-        words = [zero] * NWORDS
-        for j, (p_hi, p_lo) in enumerate(pairs):
-            new = words[j] + p_lo
-            carry = (new < words[j]).astype(U32)
-            words[j] = new
-            add = p_hi
-            for w_idx in range(j + 1, NWORDS):
-                new = words[w_idx] + add
-                c1 = (new < words[w_idx]).astype(U32)
-                new2 = new + carry
-                c2 = (new2 < new).astype(U32)
-                words[w_idx] = new2
-                add = zero
-                carry = c1 + c2  # <= 1: if c1 fired, new < add < 2^32-1
-                # (cheap early exit is impossible under tracing; the extra
-                # adds on zero fold away in the compiler)
+                nl = p_lo + add_lo
+                c = (nl < p_lo).astype(U32)
+                p_lo = nl
+                p_hi = p_hi + (s >> (32 - sh)) + c  # p_hi < 2^22: exact
+            carry = jnp.zeros_like(lo)
+            add = [p_lo, p_hi]
+            for wi in range(g, NWORDS):
+                a = add[wi - g] if wi - g < 2 else zero
+                s = words[wi] + a
+                c1 = (s < a).astype(U32)
+                s2 = s + carry
+                c2 = (s2 < s).astype(U32)
+                words[wi] = s2
+                carry = c1 + c2
         return self._redc128(words)
 
     def _emul(self, x, table):
@@ -269,34 +371,34 @@ class MxuPlan64:
     # Kernel body & wrapper
     # ------------------------------------------------------------------
 
-    def _unpack_w(self, ref):
-        return [ref[i] for i in range(NLIMBS)]
-
     def _nwc_kernel(
-        self, a_hi, a_lo, b_hi, b_lo, w1, w2, w1i, w2i,
+        self, a_hi, a_lo, b_hi, b_lo,
+        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
         tw_hi, tw_lo, mid_hi, mid_lo, midi_hi, midi_lo, un_hi, un_lo,
         out_hi, out_lo,
     ):
-        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
-        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
+        w1 = (w1_l, w1_b)
+        w2 = (w2_l, w2_b)
+        w1i = (w1i_l, w1i_b)
+        w2i = (w2i_l, w2i_b)
         tw = (tw_hi[...], tw_lo[...])
         mid = (mid_hi[...], mid_lo[...])
         midi = (midi_hi[...], midi_lo[...])
         un = (un_hi[...], un_lo[...])
 
         def fwd(x):
-            x = self._matmul_mont(x, w1_l, left=True)
+            x = self._matmul_mont(x, w1, left=True)
             x = self._emul(x, mid)
-            return self._matmul_mont(x, w2_l, left=False)
+            return self._matmul_mont(x, w2, left=False)
 
         at = self._emul((a_hi[0], a_lo[0]), tw)
         bt = self._emul((b_hi[0], b_lo[0]), tw)
         fa = fwd(at)
         fb = fwd(bt)
         c = self._emul(fa, fb)
-        c = self._matmul_mont(c, w2i_l, left=False)
+        c = self._matmul_mont(c, w2i, left=False)
         c = self._emul(c, midi)
-        c = self._matmul_mont(c, w1i_l, left=True)
+        c = self._matmul_mont(c, w1i, left=True)
         r_hi, r_lo = self._emul(c, un)
         out_hi[0] = r_hi
         out_lo[0] = r_lo
@@ -320,20 +422,30 @@ class MxuPlan64:
         data_spec = pl.BlockSpec(
             (1, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        w_spec = pl.BlockSpec(
+        wl_spec = pl.BlockSpec(
             (NLIMBS, LANES, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        wb_spec = pl.BlockSpec(
+            (NWORDS, LANES, LANES), lambda i: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         tbl_spec = pl.BlockSpec(
             (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         tables = (
-            self.w1_limbs, self.w2_limbs, self.w1i_limbs, self.w2i_limbs,
+            *self.w1, *self.w2, *self.w1i, *self.w2i,
             *self.twist, *self.mid, *self.mid_inv, *self.untwist,
         )
-        in_specs = [data_spec] * 4 + [
-            w_spec if t.dtype == jnp.bfloat16 else tbl_spec for t in tables
-        ]
+
+        def spec_for(t):
+            if t.dtype == jnp.int8:
+                return wl_spec
+            if t.ndim == 3:
+                return wb_spec
+            return tbl_spec
+
+        in_specs = [data_spec] * 4 + [spec_for(t) for t in tables]
         out_hi, out_lo = pl.pallas_call(
             self._nwc_kernel,
             grid=(g,),
