@@ -18,16 +18,20 @@ lane gathers, but exact small-integer matmuls):
   no butterfly network at all: natural order in, four-step order
   (entry [k1, k2] = X[k2*n1 + k1]) out, and the inverse kernel consumes
   that same order, so a full poly-mult performs no permutation anywhere.
-* Exactness on the MXU: operands are decomposed into 8-bit limbs lifted to
-  bfloat16.  Each limb-pair product accumulates at most 128 * 255 * 255 <
-  2^24 in float32, which is exact; diagonal limb sums are combined in
-  uint32 and the 64-bit total is reduced by one Montgomery REDC.
+* Exactness on the MXU (default int8 path): operands are decomposed into
+  8-bit limbs offset by -128 into int8; the int8 systolic pipeline (2x the
+  bf16 rate) accumulates exactly in int32, and the unsigned total is
+  recovered with the value-level zero-point identity (line sums + a
+  precomputed mod-2^64 BASE accumulator — derivation in mxu64.py).  The
+  bf16 fallback (int8_path=False) lifts unsigned limbs to bfloat16, where
+  every f32 partial sum < 128 * 255^2 < 2^24 is exact.  Either way the
+  64-bit total reduces with one Montgomery REDC.
 * All kernel-resident values live in the Montgomery domain (x*R mod q,
   R = 2^32).  Domain entry is folded into the psi-twist table (psi^i * R^2)
   and exit into the untwist table (psi^-i * n^-1, plain), so conversion is
   free in the fused pipeline.  Validity needs 128 * q^2 < q * 2^32, i.e.
   q < 2^25 — covers the shipped 24-bit sets; wider moduli use the XLA path
-  (ntt.py) or the RNS route (rns.py).
+  (ntt.py) or the double-word kernel (mxu64.py).
 
 Reference arithmetic being replaced: Montgomery REDC is the
 REDUCTION_TYPE=2 algorithm of rtl/montgomery_reduction.v:22-26 with
@@ -121,10 +125,46 @@ class MxuPlan:
             return out
 
         to_mont = lambda m: (m.astype(object) * r % q).astype(np.uint32)
-        self.w1_limbs = _limb_split_bf16(to_mont(block_diag(dft_matrix(n1, w1))), self.nlimbs)
-        self.w1i_limbs = _limb_split_bf16(to_mont(block_diag(dft_matrix(n1, w1i))), self.nlimbs)
-        self.w2_limbs = _limb_split_bf16(to_mont(dft_matrix(n2, w2)), self.nlimbs)
-        self.w2i_limbs = _limb_split_bf16(to_mont(dft_matrix(n2, w2i)), self.nlimbs)
+        self.int8_path = int8_path
+        L = self.nlimbs
+        self._s8 = sum(1 << (8 * j) for j in range(L))
+        self._ks = 128 * self._s8  # < 2^24 for L=3: fits one word
+        self._diag_off = 1 << 24  # |raw diag| <= L*128*128^2 < 2^23.6
+
+        def make_w(m: np.ndarray, left: bool):
+            """int8 path: (int8 limbs, 2-word BASE accumulator); bf16 path:
+            (bf16 limbs,).  BASE carries the zero-point corrections that
+            depend only on W (line sums, constants, diagonal offsets),
+            stored mod 2^64 (see mxu64.py for the derivation)."""
+            if not int8_path:
+                return (_limb_split_bf16(m, L),)
+            limbs = np.stack(
+                [
+                    (((m >> (8 * i)) & 0xFF).astype(np.int32) - 128).astype(
+                        np.int8
+                    )
+                    for i in range(L)
+                ]
+            )
+            sums = m.astype(object).sum(axis=1 if left else 0)
+            ndiags = 2 * L - 1
+            off_total = sum(self._diag_off << (8 * k) for k in range(ndiags))
+            const = -(128 * 128 * LANES * self._s8 * self._s8) - off_total
+            words = np.zeros((2, LANES, LANES), dtype=np.uint32)
+            for idx, s in enumerate(sums):
+                v = (self._ks * int(s) + const) % (1 << 64)
+                for wi in range(2):
+                    wv = (v >> (32 * wi)) & 0xFFFFFFFF
+                    if left:
+                        words[wi, idx, :] = wv
+                    else:
+                        words[wi, :, idx] = wv
+            return (jnp.asarray(limbs), jnp.asarray(words))
+
+        self.w1 = make_w(to_mont(block_diag(dft_matrix(n1, w1))), left=True)
+        self.w1i = make_w(to_mont(block_diag(dft_matrix(n1, w1i))), left=True)
+        self.w2 = make_w(to_mont(dft_matrix(n2, w2)), left=False)
+        self.w2i = make_w(to_mont(dft_matrix(n2, w2i)), left=False)
 
         # Elementwise tables, all (128, 128), tiled over the t polynomials
         # of a group.  mid[k1, m2] = omega^(+-k1*m2) in Montgomery form.
@@ -168,13 +208,17 @@ class MxuPlan:
         t = hi + mq_hi + (lo != 0).astype(U32)
         return jnp.where(t >= self.q, t - U32(self.q), t)
 
-    def _matmul_mont(self, x, w_limbs, left: bool):
-        """REDC( W @ x ) or REDC( x @ W ) with 8-bit-limb bf16 MXU matmuls.
+    def _matmul_mont(self, x, w_set, left: bool):
+        """REDC( W @ x ) or REDC( x @ W ) with 8-bit-limb MXU matmuls.
 
         W is stored in Montgomery form, so Montgomery-domain x stays in
-        domain.  Exact: every f32 partial sum < 2^24.
-        """
+        domain.  int8 path: zero-point scheme with precomputed BASE words
+        (exact; see class docstring).  bf16 path: unsigned limbs, every f32
+        partial sum < 2^24 (exact)."""
         L = self.nlimbs
+        if self.int8_path:
+            return self._matmul_int8(x, w_set, left)
+        (w_limbs,) = w_set
         xl = self._to_limbs(x)
         diags: list = [None] * (2 * L - 1)
         for i in range(L):
@@ -208,6 +252,52 @@ class MxuPlan:
                 hi = hi + (s >> (32 - sh))
         return self._redc_pair(hi, lo)
 
+    def _matmul_int8(self, x, w_set, left: bool):
+        """int8-MXU matmul-mod: S = D'' + KS*linesum(x) + BASE, one REDC.
+
+        All quantities mod 2^64; true S = sum_k W*x < 128*q^2 < 2^53 so the
+        wrapping 2-word arithmetic is exact."""
+        L = self.nlimbs
+        i32 = jnp.int32
+        w_limbs, base = w_set
+        xl = [
+            ((((x >> (8 * i)) & 0xFF).astype(i32)) - 128).astype(jnp.int8)
+            for i in range(L)
+        ]
+        diags: list = [None] * (2 * L - 1)
+        for i in range(L):
+            for j in range(L):
+                if left:
+                    prod = jnp.dot(w_limbs[j], xl[i], preferred_element_type=i32)
+                else:
+                    prod = jnp.dot(xl[i], w_limbs[j], preferred_element_type=i32)
+                k = i + j
+                diags[k] = prod if diags[k] is None else diags[k] + prod
+        diags = [(d + i32(self._diag_off)).astype(U32) for d in diags]
+
+        # accumulator = BASE + KS * (line sum of x); x values < 2^23 so the
+        # int32 line sum (< 2^30) is exact, and KS*sum < 2^54 fits the pair.
+        lsum = jnp.sum(x.astype(i32), axis=0 if left else 1, keepdims=True)
+        ch, cl = mul32(lsum.astype(U32), jnp.full_like(lsum, self._ks).astype(U32))
+        lo = base[0] + cl
+        c = (lo < cl).astype(U32)
+        hi = base[1] + ch + c
+
+        # add the diagonals: sum_k diags[k] << 8k (diag < 2^25)
+        for k, s in enumerate(diags):
+            sh = 8 * k
+            if sh >= 32:
+                hi = hi + (s << (sh - 32))
+                continue
+            add_lo = s << sh
+            new_lo = lo + add_lo
+            carry = (new_lo < lo).astype(U32)
+            lo = new_lo
+            hi = hi + carry
+            if sh:
+                hi = hi + (s >> (32 - sh))
+        return self._redc_pair(hi, lo)
+
     def _emul(self, x, table):
         """Elementwise Montgomery product with a precomputed table."""
         return mont_mul32(x, table, self.q, self.q_prime)
@@ -223,57 +313,67 @@ class MxuPlan:
         return self._matmul_mont(x, w1i, left=True)
 
     # ------------------------------------------------------------------
-    # Kernel bodies
+    # Kernel bodies (variadic: each W set is 1 ref (bf16) or 2 (int8+BASE))
     # ------------------------------------------------------------------
 
-    def _unpack_w(self, ref):
-        return [ref[i] for i in range(self.nlimbs)]
+    def _take_w(self, refs):
+        """Pop one W set from the flat ref list -> ((limbs..., [base]), rest)."""
+        if self.int8_path:
+            limbs_ref, base_ref = refs[0], refs[1]
+            return ([limbs_ref[i] for i in range(self.nlimbs)], base_ref), refs[2:]
+        return ([refs[0][i] for i in range(self.nlimbs)],), refs[1:]
 
-    def _nwc_kernel(
-        self, a_ref, b_ref, w1, w2, w1i, w2i, twist, mid, mid_inv, untwist,
-        out_ref,
-    ):
-        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
-        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
-        tw, m, mi, untw = twist[...], mid[...], mid_inv[...], untwist[...]
+    def _nwc_kernel(self, a_ref, b_ref, *refs):
+        w1, refs = self._take_w(refs)
+        w2, refs = self._take_w(refs)
+        w1i, refs = self._take_w(refs)
+        w2i, refs = self._take_w(refs)
+        tw, m, mi, untw = (r[...] for r in refs[:4])
+        out_ref = refs[4]
         for g in range(a_ref.shape[0]):
             at = self._emul(a_ref[g], tw)  # twist + Montgomery entry
             bt = self._emul(b_ref[g], tw)
-            fa = self._fwd_group(at, w1_l, w2_l, m)
-            fb = self._fwd_group(bt, w1_l, w2_l, m)
+            fa = self._fwd_group(at, w1, w2, m)
+            fb = self._fwd_group(bt, w1, w2, m)
             c = self._emul(fa, fb)  # pointwise, stays in domain
-            c = self._inv_group(c, w1i_l, w2i_l, mi)
+            c = self._inv_group(c, w1i, w2i, mi)
             out_ref[g] = self._emul(c, untw)  # untwist + n^-1 + exit
 
-    def _cyclic_kernel(
-        self, a_ref, b_ref, w1, w2, w1i, w2i, enter, mid, mid_inv, exit_scale,
-        out_ref,
-    ):
-        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
-        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
-        en, m, mi, ex = enter[...], mid[...], mid_inv[...], exit_scale[...]
+    def _cyclic_kernel(self, a_ref, b_ref, *refs):
+        w1, refs = self._take_w(refs)
+        w2, refs = self._take_w(refs)
+        w1i, refs = self._take_w(refs)
+        w2i, refs = self._take_w(refs)
+        en, m, mi, ex = (r[...] for r in refs[:4])
+        out_ref = refs[4]
         for g in range(a_ref.shape[0]):
             at = self._emul(a_ref[g], en)
             bt = self._emul(b_ref[g], en)
-            fa = self._fwd_group(at, w1_l, w2_l, m)
-            fb = self._fwd_group(bt, w1_l, w2_l, m)
+            fa = self._fwd_group(at, w1, w2, m)
+            fb = self._fwd_group(bt, w1, w2, m)
             c = self._emul(fa, fb)
-            c = self._inv_group(c, w1i_l, w2i_l, mi)
+            c = self._inv_group(c, w1i, w2i, mi)
             out_ref[g] = self._emul(c, ex)  # n^-1 scale + domain exit
 
-    def _fwd_kernel(self, x_ref, w1, w2, enter, mid, exit_one, out_ref):
-        w1_l, w2_l = self._unpack_w(w1), self._unpack_w(w2)
+    def _fwd_kernel(self, x_ref, *refs):
+        w1, refs = self._take_w(refs)
+        w2, refs = self._take_w(refs)
+        enter, mid, exit_one = (r[...] for r in refs[:3])
+        out_ref = refs[3]
         for g in range(x_ref.shape[0]):
-            xt = self._emul(x_ref[g], enter[...])
-            y = self._fwd_group(xt, w1_l, w2_l, mid[...])
-            out_ref[g] = self._emul(y, exit_one[...])
+            xt = self._emul(x_ref[g], enter)
+            y = self._fwd_group(xt, w1, w2, mid)
+            out_ref[g] = self._emul(y, exit_one)
 
-    def _inv_kernel(self, x_ref, w1i, w2i, enter, mid_inv, exit_scale, out_ref):
-        w1i_l, w2i_l = self._unpack_w(w1i), self._unpack_w(w2i)
+    def _inv_kernel(self, x_ref, *refs):
+        w1i, refs = self._take_w(refs)
+        w2i, refs = self._take_w(refs)
+        enter, mid_inv, exit_scale = (r[...] for r in refs[:3])
+        out_ref = refs[3]
         for g in range(x_ref.shape[0]):
-            xt = self._emul(x_ref[g], enter[...])
-            y = self._inv_group(xt, w1i_l, w2i_l, mid_inv[...])
-            out_ref[g] = self._emul(y, exit_scale[...])
+            xt = self._emul(x_ref[g], enter)
+            y = self._inv_group(xt, w1i, w2i, mid_inv)
+            out_ref[g] = self._emul(y, exit_scale)
 
     # ------------------------------------------------------------------
     # pallas_call wrappers
@@ -308,8 +408,19 @@ class MxuPlan:
         tbl_spec = pl.BlockSpec(
             (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
+        base_spec = pl.BlockSpec(
+            (2, LANES, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+        def spec_for(a):
+            if a.dtype in (jnp.bfloat16, jnp.int8):
+                return w_spec
+            if a.ndim == 3:
+                return base_spec
+            return tbl_spec
+
         in_specs = [data_spec] * len(data_args) + [
-            w_spec if a.dtype == jnp.bfloat16 else tbl_spec for a in table_args
+            spec_for(a) for a in table_args
         ]
         return pl.pallas_call(
             kernel,
@@ -335,7 +446,7 @@ class MxuPlan:
             self._nwc_kernel,
             (ga, gb),
             (
-                self.w1_limbs, self.w2_limbs, self.w1i_limbs, self.w2i_limbs,
+                *self.w1, *self.w2, *self.w1i, *self.w2i,
                 self.twist, self.mid, self.mid_inv, self.untwist,
             ),
             interpret=interpret,
@@ -351,7 +462,7 @@ class MxuPlan:
             self._cyclic_kernel,
             (ga, gb),
             (
-                self.w1_limbs, self.w2_limbs, self.w1i_limbs, self.w2i_limbs,
+                *self.w1, *self.w2, *self.w1i, *self.w2i,
                 self.enter, self.mid, self.mid_inv, self.exit_scale,
             ),
             interpret=interpret,
@@ -368,7 +479,7 @@ class MxuPlan:
         out = self._call(
             self._fwd_kernel,
             (gx,),
-            (self.w1_limbs, self.w2_limbs, self.enter, self.mid, self.exit_one),
+            (*self.w1, *self.w2, self.enter, self.mid, self.exit_one),
             interpret=interpret,
         )
         return out.reshape(-1, self.p.n)[:bsz]
@@ -380,7 +491,7 @@ class MxuPlan:
             self._inv_kernel,
             (
                 gx,),
-            (self.w1i_limbs, self.w2i_limbs, self.enter, self.mid_inv,
+            (*self.w1i, *self.w2i, self.enter, self.mid_inv,
              self.exit_scale),
             interpret=interpret,
         )
