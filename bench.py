@@ -70,6 +70,17 @@ def bench_case(name, batch, iters, kind="nwc"):
             lambda x, y: mp.nwc_poly_mult(x, y), a, b, iters=iters
         )
         impl = "pallas-mxu"
+    elif p.n % 128 == 0 and 256 <= p.n <= 16384:
+        # double-word Pallas kernel: VMEM-resident, so unlike the XLA path
+        # it does not go HBM-bound at large batch
+        from tpu_ntt.kernels.mxu64 import MxuPlan64
+
+        mp = MxuPlan64(p)
+        b = make_batch(plan, batch, 2)
+        dt = device_seconds_per_iter(
+            lambda x, y: mp.nwc_poly_mult(x, y), a, b, iters=iters
+        )
+        impl = "pallas-mxu64"
     else:
         b = make_batch(plan, batch, 2)
         dt = device_seconds_per_iter(

@@ -66,3 +66,27 @@ def test_plan_validation():
         MxuPlan64(make_params(128, P60_4096.q))  # n too small
     # 24-bit modulus is allowed (the double-word kernel is just overkill)
     MxuPlan64(DILITHIUM_256)
+
+
+def test_cyclic64_matches_golden(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    a = [[rng.randrange(p.q) for _ in range(p.n)]]
+    b = [[rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.cyclic_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.cyclic_poly_mult(a[0], b[0], p)
+    assert [int(v) for v in got[0]] == want
+
+
+def test_fwd64_matches_golden_and_roundtrips(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    x = [[rng.randrange(p.q) for _ in range(p.n)]]
+    f = mp.ntt_fwd(enc(x), interpret=True)
+    got4 = dec(*f)[0]
+    perm = mp.fourstep_to_natural_perm()
+    nat = [int(got4[perm[j]]) for j in range(p.n)]  # natural = flat[perm]
+    want = reference.cg_ntt(x[0], p.omega, p.q)
+    assert nat == want
+    rt = dec(*mp.ntt_inv(f, interpret=True))
+    assert [int(v) for v in rt[0]] == x[0]

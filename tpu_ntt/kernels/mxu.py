@@ -40,9 +40,6 @@ word-aligned R; the psi-twist convention is new_reference/cg_ntt.py:78-92.
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -121,14 +121,22 @@ class MxuPlan64:
             return out
 
         def make_w(m: np.ndarray, left: bool):
-            """(int8 limb stack, BASE word stack) for one matrix."""
-            limbs = np.stack(
-                [
-                    np.vectorize(lambda v: ((int(v) >> (8 * i)) & 0xFF) - 128)(
-                        m
-                    ).astype(np.int8)
-                    for i in range(NLIMBS)
-                ]
+            """(stacked int8 limbs, BASE word stack) for one matrix.
+
+            Limbs are laid out in DESCENDING order along the contraction
+            axis (left: columns of a (128, 1024) matrix; right: rows of a
+            (1024, 128) one) so that every limb diagonal k of the product
+            is ONE matmul against a contiguous slice of the ascending
+            x-limb stack: as i runs up through the diagonal, j = k - i runs
+            down, matching block position 7 - j running up."""
+            limb_list = [
+                np.vectorize(lambda v: ((int(v) >> (8 * i)) & 0xFF) - 128)(
+                    m
+                ).astype(np.int8)
+                for i in range(NLIMBS)
+            ]
+            limbs = np.concatenate(
+                limb_list[::-1], axis=1 if left else 0
             )
             # line sums of the full values along the contraction axis:
             # left (W@X): rw[r] = sum_k W[r,k]; right (X@W): cw[c] = sum_k W[k,c]
@@ -150,6 +158,9 @@ class MxuPlan64:
         self.w2 = make_w(dft_matrix(n2, w2, r192), left=False)
         self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r128)), left=True)
         self.w2i = make_w(dft_matrix(n2, w2i, r128), left=False)
+        # plain-domain right matrix for the standalone forward transform
+        # (REDC128 of w*2^128 times a plain value stays plain)
+        self.w2_plain = make_w(dft_matrix(n2, w2, r128), left=False)
 
         def tiled_pair(fn):
             """(hi, lo) uint32 pair tables, tiled over the t polynomials."""
@@ -178,6 +189,10 @@ class MxuPlan64:
         self.untwist = tiled_pair(
             lambda i1, i2: pow(psi_inv, i1 * n2 + i2, q) * p.n_inv % q
         )
+        # cyclic-mode exit (n^-1, plain: consumes Montgomery-64 and exits)
+        self.exit_scale = tiled_pair(lambda i1, i2: p.n_inv % q)
+        # standalone-inverse exit (n^-1 * 2^64: plain in, plain out)
+        self.exit_scale_m64 = tiled_pair(lambda i1, i2: p.n_inv * r64 % q)
 
     # ------------------------------------------------------------------
     # In-kernel primitives ((hi, lo) pairs of (128, 128) uint32)
@@ -300,23 +315,34 @@ class MxuPlan64:
         return t_hi, t_lo
 
     def _matmul_mont(self, x, w_set, left: bool):
-        """REDC128( W @ x ) or REDC128( x @ W ) on the int8 MXU path."""
+        """REDC128( W @ x ) or REDC128( x @ W ) on the int8 MXU path.
+
+        One matmul per limb diagonal: the ascending x-limb stack is sliced
+        against the descending W-limb stack (see make_w), so the diagonal
+        sums come out of the MXU directly with zero vector adds.
+        """
         hi, lo = x
-        w_limbs, base = w_set
+        w_desc, base = w_set
         xl = self._to_limbs_i8(hi, lo)
-        diags: list = [None] * NDIAGS
-        for i in range(NLIMBS):
-            for j in range(NLIMBS):
-                if left:
-                    prod = jnp.dot(
-                        w_limbs[j], xl[i], preferred_element_type=I32
-                    )
-                else:
-                    prod = jnp.dot(
-                        xl[i], w_limbs[j], preferred_element_type=I32
-                    )
-                k = i + j
-                diags[k] = prod if diags[k] is None else diags[k] + prod
+        xstack = jnp.concatenate(xl, axis=0 if left else 1)
+        diags: list = []
+        for k in range(NDIAGS):
+            i0, i1 = max(0, k - (NLIMBS - 1)), min(NLIMBS - 1, k)
+            p0 = (NLIMBS - 1) - (k - i0)
+            kk = (i1 - i0 + 1) * LANES
+            if left:
+                prod = jnp.dot(
+                    w_desc[:, p0 * LANES : p0 * LANES + kk],
+                    xstack[i0 * LANES : i0 * LANES + kk, :],
+                    preferred_element_type=I32,
+                )
+            else:
+                prod = jnp.dot(
+                    xstack[:, i0 * LANES : i0 * LANES + kk],
+                    w_desc[p0 * LANES : p0 * LANES + kk, :],
+                    preferred_element_type=I32,
+                )
+            diags.append(prod)
         # offset diagonals into unsigned range: |diag| <= 8*128*128^2 < 2^25
         diags = [(d + I32(DIAG_OFF)).astype(U32) for d in diags]
 
@@ -403,6 +429,56 @@ class MxuPlan64:
         out_hi[0] = r_hi
         out_lo[0] = r_lo
 
+    def _cyclic_kernel(
+        self, a_hi, a_lo, b_hi, b_lo,
+        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
+        mid_hi, mid_lo, midi_hi, midi_lo, ex_hi, ex_lo,
+        out_hi, out_lo,
+    ):
+        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
+        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
+        mid = (mid_hi[...], mid_lo[...])
+        midi = (midi_hi[...], midi_lo[...])
+        ex = (ex_hi[...], ex_lo[...])
+
+        def fwd(x):  # plain in -> Montgomery-64 out (w2 carries 2^192)
+            x = self._matmul_mont(x, w1, left=True)
+            x = self._emul(x, mid)
+            return self._matmul_mont(x, w2, left=False)
+
+        fa = fwd((a_hi[0], a_lo[0]))
+        fb = fwd((b_hi[0], b_lo[0]))
+        c = self._emul(fa, fb)
+        c = self._matmul_mont(c, w2i, left=False)
+        c = self._emul(c, midi)
+        c = self._matmul_mont(c, w1i, left=True)
+        r_hi, r_lo = self._emul(c, ex)  # n^-1 + domain exit
+        out_hi[0] = r_hi
+        out_lo[0] = r_lo
+
+    def _fwd_kernel(
+        self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b, mid_hi, mid_lo,
+        out_hi, out_lo,
+    ):
+        w1, w2p = (w1_l, w1_b), (w2p_l, w2p_b)
+        x = self._matmul_mont((x_hi[0], x_lo[0]), w1, left=True)
+        x = self._emul(x, (mid_hi[...], mid_lo[...]))
+        r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
+        out_hi[0] = r_hi
+        out_lo[0] = r_lo
+
+    def _inv_kernel(
+        self, x_hi, x_lo, w1i_l, w1i_b, w2i_l, w2i_b, midi_hi, midi_lo,
+        ex_hi, ex_lo, out_hi, out_lo,
+    ):
+        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
+        x = self._matmul_mont((x_hi[0], x_lo[0]), w2i, left=False)
+        x = self._emul(x, (midi_hi[...], midi_lo[...]))
+        x = self._matmul_mont(x, w1i, left=True)
+        r_hi, r_lo = self._emul(x, (ex_hi[...], ex_lo[...]))  # n^-1 (m64)
+        out_hi[0] = r_hi
+        out_lo[0] = r_lo
+
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
         pad = (-b) % self.t
@@ -413,41 +489,21 @@ class MxuPlan64:
         g = (b + pad) // self.t
         return hi.reshape(g, LANES, LANES), lo.reshape(g, LANES, LANES), b
 
-    def nwc_poly_mult(self, a, b, interpret: bool = False):
-        """Fused negacyclic product: a, b are (hi, lo) uint32 pairs of shape
-        (B, n), natural order, coefficients in [0, q)."""
-        ga_hi, ga_lo, bsz = self._group_batch(*a)
-        gb_hi, gb_lo, _ = self._group_batch(*b)
-        g = ga_hi.shape[0]
+    def _call(self, kernel, data, tables, interpret):
+        """data: flat tuple of (G,128,128) arrays; returns (hi, lo)."""
+        g = data[0].shape[0]
         data_spec = pl.BlockSpec(
             (1, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        wl_spec = pl.BlockSpec(
-            (NLIMBS, LANES, LANES), lambda i: (0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        wb_spec = pl.BlockSpec(
-            (NWORDS, LANES, LANES), lambda i: (0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        tbl_spec = pl.BlockSpec(
-            (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        tables = (
-            *self.w1, *self.w2, *self.w1i, *self.w2i,
-            *self.twist, *self.mid, *self.mid_inv, *self.untwist,
-        )
 
         def spec_for(t):
-            if t.dtype == jnp.int8:
-                return wl_spec
-            if t.ndim == 3:
-                return wb_spec
-            return tbl_spec
+            # full-array constant-index block (W stacks, BASE words, tables)
+            zeros = lambda *_: (0,) * t.ndim
+            return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
 
-        in_specs = [data_spec] * 4 + [spec_for(t) for t in tables]
-        out_hi, out_lo = pl.pallas_call(
-            self._nwc_kernel,
+        in_specs = [data_spec] * len(data) + [spec_for(t) for t in tables]
+        return pl.pallas_call(
+            kernel,
             grid=(g,),
             out_shape=(
                 jax.ShapeDtypeStruct((g, LANES, LANES), U32),
@@ -456,8 +512,69 @@ class MxuPlan64:
             in_specs=in_specs,
             out_specs=(data_spec, data_spec),
             interpret=interpret,
-        )(ga_hi, ga_lo, gb_hi, gb_lo, *tables)
+        )(*data, *tables)
+
+    def _unflatten(self, out, bsz):
         return (
-            out_hi.reshape(-1, self.p.n)[:bsz],
-            out_lo.reshape(-1, self.p.n)[:bsz],
+            out[0].reshape(-1, self.p.n)[:bsz],
+            out[1].reshape(-1, self.p.n)[:bsz],
         )
+
+    def nwc_poly_mult(self, a, b, interpret: bool = False):
+        """Fused negacyclic product: a, b are (hi, lo) uint32 pairs of shape
+        (B, n), natural order, coefficients in [0, q)."""
+        ga_hi, ga_lo, bsz = self._group_batch(*a)
+        gb_hi, gb_lo, _ = self._group_batch(*b)
+        out = self._call(
+            self._nwc_kernel,
+            (ga_hi, ga_lo, gb_hi, gb_lo),
+            (
+                *self.w1, *self.w2, *self.w1i, *self.w2i,
+                *self.twist, *self.mid, *self.mid_inv, *self.untwist,
+            ),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def cyclic_poly_mult(self, a, b, interpret: bool = False):
+        """Fused cyclic product INTT(NTT(a) . NTT(b)) — the RTL top-level
+        pipeline semantics (rtl/ntt_poly_mult.sv)."""
+        ga_hi, ga_lo, bsz = self._group_batch(*a)
+        gb_hi, gb_lo, _ = self._group_batch(*b)
+        out = self._call(
+            self._cyclic_kernel,
+            (ga_hi, ga_lo, gb_hi, gb_lo),
+            (
+                *self.w1, *self.w2, *self.w1i, *self.w2i,
+                *self.mid, *self.mid_inv, *self.exit_scale,
+            ),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def ntt_fwd(self, x, interpret: bool = False):
+        """Batched cyclic forward NTT, four-step output layout (entry
+        [k1, k2] holds X[k2*n1 + k1]); plain domain in and out."""
+        gx_hi, gx_lo, bsz = self._group_batch(*x)
+        out = self._call(
+            self._fwd_kernel,
+            (gx_hi, gx_lo),
+            (*self.w1, *self.w2_plain, *self.mid),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def ntt_inv(self, x, interpret: bool = False):
+        """Batched cyclic inverse NTT consuming the four-step layout."""
+        gx_hi, gx_lo, bsz = self._group_batch(*x)
+        out = self._call(
+            self._inv_kernel,
+            (gx_hi, gx_lo),
+            (*self.w1i, *self.w2i, *self.mid_inv, *self.exit_scale_m64),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def fourstep_to_natural_perm(self) -> np.ndarray:
+        """perm such that natural_spectrum = fourstep_flat[perm]."""
+        return np.arange(self.p.n).reshape(self.n1, LANES).T.reshape(-1)
