@@ -9,7 +9,7 @@ from tpu_ntt.params import make_params
 
 def test_impl_selection():
     assert dispatch.impl_name(DILITHIUM_256) == "pallas-mxu"
-    assert dispatch.impl_name(P60_4096) == "xla-merged-64"
+    assert dispatch.impl_name(P60_4096) == "pallas-mxu64"
     # power-of-two n below 256 can't use the kernel
     assert dispatch.impl_name(make_params(128, 8380417)) == "xla-merged"
 

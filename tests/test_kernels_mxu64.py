@@ -28,6 +28,7 @@ def dec(hi, lo):
 @pytest.mark.parametrize("p", [P60_SMALL, P60_4096], ids=lambda p: p.name)
 def test_nwc64_matches_golden(p, rng):
     mp = MxuPlan64(p)
+    mp.groups_per_step = 1  # keep interpret-mode cost down
     B = 2
     a = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
     b = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
@@ -40,6 +41,7 @@ def test_nwc64_matches_golden(p, rng):
 def test_nwc64_boundary_and_padding(rng):
     p = P60_SMALL
     mp = MxuPlan64(p)
+    mp.groups_per_step = 1
     rows = mp.t + 1  # exercises the pad/unpad path
     a = [[p.q - 1] * p.n for _ in range(rows)]
     b = [[p.q - 1] * p.n] + [
@@ -54,6 +56,7 @@ def test_nwc64_boundary_and_padding(rng):
 def test_nwc64_vs_schoolbook_small(rng):
     p = P60_SMALL
     mp = MxuPlan64(p)
+    mp.groups_per_step = 1
     a = [[rng.randrange(p.q) for _ in range(p.n)]]
     b = [[rng.randrange(p.q) for _ in range(p.n)]]
     got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
@@ -71,6 +74,7 @@ def test_plan_validation():
 def test_cyclic64_matches_golden(rng):
     p = P60_SMALL
     mp = MxuPlan64(p)
+    mp.groups_per_step = 1
     a = [[rng.randrange(p.q) for _ in range(p.n)]]
     b = [[rng.randrange(p.q) for _ in range(p.n)]]
     got = dec(*mp.cyclic_poly_mult(enc(a), enc(b), interpret=True))
@@ -81,6 +85,7 @@ def test_cyclic64_matches_golden(rng):
 def test_fwd64_matches_golden_and_roundtrips(rng):
     p = P60_SMALL
     mp = MxuPlan64(p)
+    mp.groups_per_step = 1
     x = [[rng.randrange(p.q) for _ in range(p.n)]]
     f = mp.ntt_fwd(enc(x), interpret=True)
     got4 = dec(*f)[0]

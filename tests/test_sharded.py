@@ -172,3 +172,35 @@ def test_default_split():
     assert sharded.default_split(1024) == (32, 32)
     assert sharded.default_split(2 ** 20) == (1024, 1024)
     assert sharded.default_split(512) == (16, 32)
+
+
+def test_kernel_under_shard_map(rng=random.Random(21)):
+    """Pallas kernel composed with data-parallel shard_map (the production
+    multi-chip serving shape: one fused kernel per device, no collectives)."""
+    from tpu_ntt.kernels.mxu import MxuPlan
+
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    mesh = make_mesh((8,), ("batch",))
+    B = 8 * mp.t  # one kernel group per device
+    a = np.array([[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)],
+                 dtype=np.uint32)
+    b = np.array([[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)],
+                 dtype=np.uint32)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda x, y: mp.nwc_poly_mult(x, y, interpret=True),
+            mesh=mesh,
+            in_specs=(P("batch", None), P("batch", None)),
+            out_specs=P("batch", None),
+            # pallas_call does not annotate varying-mesh-axes metadata yet
+            check_vma=False,
+        )
+    )
+    got = np.asarray(fn(a, b))
+    for i in (0, B - 1):
+        want = reference.nwc_poly_mult(
+            [int(v) for v in a[i]], [int(v) for v in b[i]], p
+        )
+        assert [int(v) for v in got[i]] == want

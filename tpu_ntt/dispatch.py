@@ -59,6 +59,18 @@ def _impl(p: NttParams):
             jax.jit(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b)),
             "xla-merged",
         )
+    if p.width <= 62 and p.n % 128 == 0 and 256 <= p.n <= 16384:
+        # VMEM-resident double-word kernel: unlike the XLA path it stays
+        # flat in throughput as batch grows (the XLA path goes HBM-bound)
+        from .kernels.mxu64 import MxuPlan64
+
+        mp = MxuPlan64(p)
+        interp = jax.devices()[0].platform != "tpu"
+        jitted = jax.jit(lambda a, b: mp.nwc_poly_mult(a, b, interpret=interp))
+        return (
+            lambda a, b: jitted(_split_u64(a), _split_u64(b)),
+            "pallas-mxu64",
+        )
 
     def run(a, b):
         return _ntt.nwc_poly_mult_merged(plan, a, b)

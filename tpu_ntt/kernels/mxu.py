@@ -163,6 +163,34 @@ class MxuPlan:
         self.w2 = make_w(to_mont(dft_matrix(n2, w2)), left=False)
         self.w2i = make_w(to_mont(dft_matrix(n2, w2i)), left=False)
 
+        # NWC-specialized matrices with the psi-twist folded in (same
+        # factorization as mxu64.py: psi^(128*n1) scales W1's columns /
+        # inverse W1's rows, psi^(+-n2) folds into the mid tables).  Scales:
+        # forward W1 carries R^2 (matmul REDC then *enters* the Montgomery
+        # domain from plain input); inverse W1 carries no R (REDC *exits*).
+        def scaled(m, fn, axis):
+            out = m.astype(object).copy()
+            for i in range(LANES):
+                if axis == 1:
+                    out[:, i] = out[:, i] * fn(i) % q
+                else:
+                    out[i, :] = out[i, :] * fn(i) % q
+            return out.astype(np.uint32)
+
+        psi128 = pow(p.psi, n2, q)
+        psi128_inv = pow(psi128, q - 2, q)
+        r2_full = r2  # R^2 mod q
+        self.w1_nwc = make_w(
+            scaled(block_diag(dft_matrix(n1, w1)),
+                   lambda c: pow(psi128, c % n1, q) * r2_full % q, axis=1),
+            left=True,
+        )
+        self.w1i_nwc = make_w(
+            scaled(block_diag(dft_matrix(n1, w1i)),
+                   lambda rr: pow(psi128_inv, rr % n1, q), axis=0),
+            left=True,
+        )
+
         # Elementwise tables, all (128, 128), tiled over the t polynomials
         # of a group.  mid[k1, m2] = omega^(+-k1*m2) in Montgomery form.
         def tiled(fn) -> np.ndarray:
@@ -185,6 +213,14 @@ class MxuPlan:
         self.enter = tiled(lambda i1, i2: r2)  # x -> x*R
         self.exit_scale = tiled(lambda i1, i2: p.n_inv % q)  # xbar*n^-1 -> std
         self.exit_one = tiled(lambda i1, i2: 1)  # xbar -> x (plain REDC)
+        # NWC-folded mid tables (psi^(+-n2) split of the twist)
+        self.mid_nwc = tiled(
+            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) * r % q
+        )
+        self.mid_inv_nwc = tiled(
+            lambda k1, m2: pow(omega_inv, k1 * m2, q)
+            * pow(psi_inv, m2, q) % q * p.n_inv % q * r % q
+        )
 
     # ------------------------------------------------------------------
     # In-kernel primitives (pure jnp on (128, 128) uint32 values)
@@ -321,20 +357,23 @@ class MxuPlan:
         return ([refs[0][i] for i in range(self.nlimbs)],), refs[1:]
 
     def _nwc_kernel(self, a_ref, b_ref, *refs):
+        """Twist-folded: plain in -> [W1*psi^(128n1)*R^2] -> *mid*psi^(n2)
+        -> [W2*R] (Montgomery NWC spectrum); pointwise; [W2i*R] ->
+        *mid_inv*psi^(-n2)*n^-1 -> [W1i*psi^(-128n1), no R] -> plain out.
+        Zero elementwise twist/untwist/entry/exit passes."""
         w1, refs = self._take_w(refs)
         w2, refs = self._take_w(refs)
         w1i, refs = self._take_w(refs)
         w2i, refs = self._take_w(refs)
-        tw, m, mi, untw = (r[...] for r in refs[:4])
-        out_ref = refs[4]
+        m, mi = (r[...] for r in refs[:2])
+        out_ref = refs[2]
         for g in range(a_ref.shape[0]):
-            at = self._emul(a_ref[g], tw)  # twist + Montgomery entry
-            bt = self._emul(b_ref[g], tw)
-            fa = self._fwd_group(at, w1, w2, m)
-            fb = self._fwd_group(bt, w1, w2, m)
+            fa = self._fwd_group(a_ref[g], w1, w2, m)
+            fb = self._fwd_group(b_ref[g], w1, w2, m)
             c = self._emul(fa, fb)  # pointwise, stays in domain
-            c = self._inv_group(c, w1i, w2i, mi)
-            out_ref[g] = self._emul(c, untw)  # untwist + n^-1 + exit
+            c = self._matmul_mont(c, w2i, left=False)
+            c = self._emul(c, mi)
+            out_ref[g] = self._matmul_mont(c, w1i, left=True)
 
     def _cyclic_kernel(self, a_ref, b_ref, *refs):
         w1, refs = self._take_w(refs)
@@ -443,8 +482,8 @@ class MxuPlan:
             self._nwc_kernel,
             (ga, gb),
             (
-                *self.w1, *self.w2, *self.w1i, *self.w2i,
-                self.twist, self.mid, self.mid_inv, self.untwist,
+                *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+                self.mid_nwc, self.mid_inv_nwc,
             ),
             interpret=interpret,
         )

@@ -162,6 +162,39 @@ class MxuPlan64:
         # (REDC128 of w*2^128 times a plain value stays plain)
         self.w2_plain = make_w(dft_matrix(n2, w2, r128), left=False)
 
+        # NWC-specialized matrices with the psi-twist folded in.  The twist
+        # factor splits as psi^(128*n1) * psi^(n2): the n1 part scales W1's
+        # columns (it rides the contracted index), the n2 part commutes with
+        # the row contraction and folds into the mid table.  Symmetrically
+        # the untwist psi^(-128*n1) scales the inverse W1's rows, and its
+        # final scale 2^64 (instead of 2^128) makes that last matmul exit
+        # the Montgomery-64 domain for free.  Net effect: the fused NWC
+        # kernel performs ZERO twist/untwist elementwise passes.
+        def col_scaled(m, col_fn):
+            out = m.copy()
+            for c in range(m.shape[1]):
+                out[:, c] = out[:, c] * col_fn(c) % q
+            return out
+
+        def row_scaled(m, row_fn):
+            out = m.copy()
+            for rr in range(m.shape[0]):
+                out[rr, :] = out[rr, :] * row_fn(rr) % q
+            return out
+
+        psi128 = pow(p.psi, n2, q)  # psi^128
+        psi128_inv = pow(psi128, q - 2, q)
+        self.w1_nwc = make_w(
+            block_diag(col_scaled(dft_matrix(n1, w1, r128),
+                                  lambda c: pow(psi128, c, q))),
+            left=True,
+        )
+        self.w1i_nwc = make_w(
+            block_diag(row_scaled(dft_matrix(n1, w1i, r64),
+                                  lambda rr: pow(psi128_inv, rr, q))),
+            left=True,
+        )
+
         def tiled_pair(fn):
             """(hi, lo) uint32 pair tables, tiled over the t polynomials."""
             blk = np.empty((n1, n2), dtype=object)
@@ -193,6 +226,14 @@ class MxuPlan64:
         self.exit_scale = tiled_pair(lambda i1, i2: p.n_inv % q)
         # standalone-inverse exit (n^-1 * 2^64: plain in, plain out)
         self.exit_scale_m64 = tiled_pair(lambda i1, i2: p.n_inv * r64 % q)
+        # NWC-folded mid tables (psi^(n2) split of the twist; see w1_nwc)
+        self.mid_nwc = tiled_pair(
+            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) * r64 % q
+        )
+        self.mid_inv_nwc = tiled_pair(
+            lambda k1, m2: pow(omega_inv, k1 * m2, q)
+            * pow(psi_inv, m2, q) * p.n_inv % q * r64 % q
+        )
 
     # ------------------------------------------------------------------
     # In-kernel primitives ((hi, lo) pairs of (128, 128) uint32)
@@ -400,34 +441,36 @@ class MxuPlan64:
     def _nwc_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
         w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
-        tw_hi, tw_lo, mid_hi, mid_lo, midi_hi, midi_lo, un_hi, un_lo,
+        mid_hi, mid_lo, midi_hi, midi_lo,
         out_hi, out_lo,
     ):
+        """Twist-folded pipeline: zero elementwise twist/untwist passes.
+
+        plain -> [W1*psi^(128n1), r128] -> *mid*psi^(n2) -> [W2, r192]
+        = Mont-64 NWC spectrum; pointwise; [W2i, r128] -> *mid_inv*
+        psi^(-n2)*n^-1 -> [W1i*psi^(-128n1), r64] -> plain result.
+        """
         w1 = (w1_l, w1_b)
         w2 = (w2_l, w2_b)
         w1i = (w1i_l, w1i_b)
         w2i = (w2i_l, w2i_b)
-        tw = (tw_hi[...], tw_lo[...])
         mid = (mid_hi[...], mid_lo[...])
         midi = (midi_hi[...], midi_lo[...])
-        un = (un_hi[...], un_lo[...])
 
         def fwd(x):
             x = self._matmul_mont(x, w1, left=True)
             x = self._emul(x, mid)
             return self._matmul_mont(x, w2, left=False)
 
-        at = self._emul((a_hi[0], a_lo[0]), tw)
-        bt = self._emul((b_hi[0], b_lo[0]), tw)
-        fa = fwd(at)
-        fb = fwd(bt)
-        c = self._emul(fa, fb)
-        c = self._matmul_mont(c, w2i, left=False)
-        c = self._emul(c, midi)
-        c = self._matmul_mont(c, w1i, left=True)
-        r_hi, r_lo = self._emul(c, un)
-        out_hi[0] = r_hi
-        out_lo[0] = r_lo
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False)
+            c = self._emul(c, midi)
+            r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
 
     def _cyclic_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
@@ -446,42 +489,53 @@ class MxuPlan64:
             x = self._emul(x, mid)
             return self._matmul_mont(x, w2, left=False)
 
-        fa = fwd((a_hi[0], a_lo[0]))
-        fb = fwd((b_hi[0], b_lo[0]))
-        c = self._emul(fa, fb)
-        c = self._matmul_mont(c, w2i, left=False)
-        c = self._emul(c, midi)
-        c = self._matmul_mont(c, w1i, left=True)
-        r_hi, r_lo = self._emul(c, ex)  # n^-1 + domain exit
-        out_hi[0] = r_hi
-        out_lo[0] = r_lo
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False)
+            c = self._emul(c, midi)
+            c = self._matmul_mont(c, w1i, left=True)
+            r_hi, r_lo = self._emul(c, ex)  # n^-1 + domain exit
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
 
     def _fwd_kernel(
         self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b, mid_hi, mid_lo,
         out_hi, out_lo,
     ):
         w1, w2p = (w1_l, w1_b), (w2p_l, w2p_b)
-        x = self._matmul_mont((x_hi[0], x_lo[0]), w1, left=True)
-        x = self._emul(x, (mid_hi[...], mid_lo[...]))
-        r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
-        out_hi[0] = r_hi
-        out_lo[0] = r_lo
+        mid = (mid_hi[...], mid_lo[...])
+        for g in range(x_hi.shape[0]):
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = self._emul(x, mid)
+            r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
 
     def _inv_kernel(
         self, x_hi, x_lo, w1i_l, w1i_b, w2i_l, w2i_b, midi_hi, midi_lo,
         ex_hi, ex_lo, out_hi, out_lo,
     ):
         w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
-        x = self._matmul_mont((x_hi[0], x_lo[0]), w2i, left=False)
-        x = self._emul(x, (midi_hi[...], midi_lo[...]))
-        x = self._matmul_mont(x, w1i, left=True)
-        r_hi, r_lo = self._emul(x, (ex_hi[...], ex_lo[...]))  # n^-1 (m64)
-        out_hi[0] = r_hi
-        out_lo[0] = r_lo
+        midi = (midi_hi[...], midi_lo[...])
+        ex = (ex_hi[...], ex_lo[...])
+        for g in range(x_hi.shape[0]):
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False)
+            x = self._emul(x, midi)
+            x = self._matmul_mont(x, w1i, left=True)
+            r_hi, r_lo = self._emul(x, ex)  # n^-1 (m64)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
+    #: independent 128x128 groups per grid step (ILP across their long
+    #: reduction dependency chains)
+    groups_per_step = 2
 
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
-        pad = (-b) % self.t
+        step = self.t * self.groups_per_step
+        pad = (-b) % step
         if pad:
             z = jnp.zeros((pad, hi.shape[1]), U32)
             hi = jnp.concatenate([hi, z], axis=0)
@@ -491,9 +545,10 @@ class MxuPlan64:
 
     def _call(self, kernel, data, tables, interpret):
         """data: flat tuple of (G,128,128) arrays; returns (hi, lo)."""
+        gps = self.groups_per_step
         g = data[0].shape[0]
         data_spec = pl.BlockSpec(
-            (1, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (gps, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
         def spec_for(t):
@@ -504,7 +559,7 @@ class MxuPlan64:
         in_specs = [data_spec] * len(data) + [spec_for(t) for t in tables]
         return pl.pallas_call(
             kernel,
-            grid=(g,),
+            grid=(g // gps,),
             out_shape=(
                 jax.ShapeDtypeStruct((g, LANES, LANES), U32),
                 jax.ShapeDtypeStruct((g, LANES, LANES), U32),
@@ -529,8 +584,8 @@ class MxuPlan64:
             self._nwc_kernel,
             (ga_hi, ga_lo, gb_hi, gb_lo),
             (
-                *self.w1, *self.w2, *self.w1i, *self.w2i,
-                *self.twist, *self.mid, *self.mid_inv, *self.untwist,
+                *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+                *self.mid_nwc, *self.mid_inv_nwc,
             ),
             interpret,
         )
