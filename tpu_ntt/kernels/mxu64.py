@@ -21,9 +21,9 @@ TPU there is no wide integer at all, so:
   every assembled word unsigned — are folded into a precomputed 5-word
   accumulator BASE, stored mod 2^160 (two's complement), so wrapping
   uint32 arithmetic reproduces S exactly.
-* S < 128*q^2 < 2^131 reduces by four chained 32-bit Montgomery steps
-  (REDC by 2^32 each), i.e. S * 2^-128 mod q; transform matrices are
-  stored as w * 2^128 mod q ("Montgomery-128"), making each matmul step
+* S < 128*q^2 < 2^131 reduces by three chained 32-bit Montgomery steps
+  (REDC by 2^32 each), i.e. S * 2^-96 mod q (< 2^35 + q < 2q); transform
+  matrices carry the matching w * 2^96 scale, making each matmul step
   domain-neutral.
 * Elementwise steps (psi-twist, mid twiddle, pointwise, untwist) use the
   double-word Montgomery multiply of modmath (R = 2^64).  Domain plan: the
@@ -97,8 +97,9 @@ class MxuPlan64:
         self.n2 = LANES
         self.t = LANES // self.n1
         r64 = pow(2, 64, q)
-        r128 = pow(2, 128, q)
-        r192 = pow(2, 192, q)
+        r32 = pow(2, 32, q)
+        r96 = pow(2, 96, q)
+        r160 = pow(2, 160, q)
 
         n1, n2, t = self.n1, self.n2, self.t
         w1 = pow(p.omega, n2, q)
@@ -154,13 +155,13 @@ class MxuPlan64:
                         words[wi, :, idx] = ws[wi]
             return jnp.asarray(limbs), jnp.asarray(words)
 
-        self.w1 = make_w(block_diag(dft_matrix(n1, w1, r128)), left=True)
-        self.w2 = make_w(dft_matrix(n2, w2, r192), left=False)
-        self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r128)), left=True)
-        self.w2i = make_w(dft_matrix(n2, w2i, r128), left=False)
+        self.w1 = make_w(block_diag(dft_matrix(n1, w1, r96)), left=True)
+        self.w2 = make_w(dft_matrix(n2, w2, r160), left=False)
+        self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r96)), left=True)
+        self.w2i = make_w(dft_matrix(n2, w2i, r96), left=False)
         # plain-domain right matrix for the standalone forward transform
-        # (REDC128 of w*2^128 times a plain value stays plain)
-        self.w2_plain = make_w(dft_matrix(n2, w2, r128), left=False)
+        # (REDC96 of w*2^96 times a plain value stays plain)
+        self.w2_plain = make_w(dft_matrix(n2, w2, r96), left=False)
 
         # NWC-specialized matrices with the psi-twist folded in.  The twist
         # factor splits as psi^(128*n1) * psi^(n2): the n1 part scales W1's
@@ -185,12 +186,12 @@ class MxuPlan64:
         psi128 = pow(p.psi, n2, q)  # psi^128
         psi128_inv = pow(psi128, q - 2, q)
         self.w1_nwc = make_w(
-            block_diag(col_scaled(dft_matrix(n1, w1, r128),
+            block_diag(col_scaled(dft_matrix(n1, w1, r96),
                                   lambda c: pow(psi128, c, q))),
             left=True,
         )
         self.w1i_nwc = make_w(
-            block_diag(row_scaled(dft_matrix(n1, w1i, r64),
+            block_diag(row_scaled(dft_matrix(n1, w1i, r32),
                                   lambda rr: pow(psi128_inv, rr, q))),
             left=True,
         )
@@ -313,17 +314,19 @@ class MxuPlan64:
             add_at(ci + 1, h2, l2)
         return words
 
-    def _redc128(self, words):
-        """S * 2^-128 mod q for S held in NWORDS uint32 words (LSW first).
+    def _redc96(self, words):
+        """S * 2^-96 mod q for S held in NWORDS uint32 words (LSW first).
 
-        Four chained Montgomery-32 steps; each clears the low word and
-        shifts down by 32 bits.
+        Three chained Montgomery-32 steps; each clears the low word and
+        shifts down by 32 bits.  S < 2^131 gives a result < 2^35 + q < 2q,
+        so 2^96 (not 2^128) is the cheapest sufficient divisor — the
+        transform matrices carry the matching 2^96/2^160 scale factors.
         """
         q_lo = U32(self.q_lo)
         q_hi = U32(self.q_hi)
         qp = U32(self.q_prime32)
         w = list(words)
-        for _ in range(4):
+        for _ in range(3):
             m = w[0] * qp  # mod 2^32
             mq0_hi, mq0_lo = mul32(m, jnp.broadcast_to(q_lo, m.shape).astype(U32))
             mq1_hi, mq1_lo = mul32(m, jnp.broadcast_to(q_hi, m.shape).astype(U32))
@@ -429,7 +432,7 @@ class MxuPlan64:
                 c2 = (s2 < s).astype(U32)
                 words[wi] = s2
                 carry = c1 + c2
-        return self._redc128(words)
+        return self._redc96(words)
 
     def _emul(self, x, table):
         return mont_mul64(x, table, self.q, self.q_prime64)
@@ -446,9 +449,9 @@ class MxuPlan64:
     ):
         """Twist-folded pipeline: zero elementwise twist/untwist passes.
 
-        plain -> [W1*psi^(128n1), r128] -> *mid*psi^(n2) -> [W2, r192]
-        = Mont-64 NWC spectrum; pointwise; [W2i, r128] -> *mid_inv*
-        psi^(-n2)*n^-1 -> [W1i*psi^(-128n1), r64] -> plain result.
+        plain -> [W1*psi^(128n1), 2^96] -> *mid*psi^(n2) -> [W2, 2^160]
+        = Mont-64 NWC spectrum; pointwise; [W2i, 2^96] -> *mid_inv*
+        psi^(-n2)*n^-1 -> [W1i*psi^(-128n1), 2^32] -> plain result.
         """
         w1 = (w1_l, w1_b)
         w2 = (w2_l, w2_b)
