@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..modmath import mont_mul64, mul32
+from ..modmath import mont_mul64, mul32, shoup_mul64
 from ..params import NttParams
 
 U32 = jnp.uint32
@@ -227,13 +227,21 @@ class MxuPlan64:
         self.exit_scale = tiled_pair(lambda i1, i2: p.n_inv % q)
         # standalone-inverse exit (n^-1 * 2^64: plain in, plain out)
         self.exit_scale_m64 = tiled_pair(lambda i1, i2: p.n_inv * r64 % q)
-        # NWC-folded mid tables (psi^(n2) split of the twist; see w1_nwc)
-        self.mid_nwc = tiled_pair(
-            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) * r64 % q
+        # NWC-folded mid tables (psi^(n2) split of the twist; see w1_nwc).
+        # Shoup-encoded: (w, floor(w*2^64/q)) with PLAIN twiddles — the
+        # Shoup product x*t mod q preserves whatever domain x is in and
+        # needs only one widening multiply (vs three for Montgomery).
+        def shoup_pair(fn):
+            w = tiled_pair(fn)
+            ws = tiled_pair(lambda i1, i2: (fn(i1, i2) << 64) // q)
+            return (*w, *ws)
+
+        self.mid_nwc = shoup_pair(
+            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) % q
         )
-        self.mid_inv_nwc = tiled_pair(
+        self.mid_inv_nwc = shoup_pair(
             lambda k1, m2: pow(omega_inv, k1 * m2, q)
-            * pow(psi_inv, m2, q) * p.n_inv % q * r64 % q
+            * pow(psi_inv, m2, q) % q * p.n_inv % q
         )
 
     # ------------------------------------------------------------------
@@ -444,8 +452,8 @@ class MxuPlan64:
     def _nwc_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
         w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
-        mid_hi, mid_lo, midi_hi, midi_lo,
-        out_hi, out_lo,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
     ):
         """Twist-folded pipeline: zero elementwise twist/untwist passes.
 
@@ -457,20 +465,22 @@ class MxuPlan64:
         w2 = (w2_l, w2_b)
         w1i = (w1i_l, w1i_b)
         w2i = (w2i_l, w2i_b)
-        mid = (mid_hi[...], mid_lo[...])
-        midi = (midi_hi[...], midi_lo[...])
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
 
         def fwd(x):
             x = self._matmul_mont(x, w1, left=True)
-            x = self._emul(x, mid)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
             return self._matmul_mont(x, w2, left=False)
 
         for g in range(a_hi.shape[0]):
             fa = fwd((a_hi[g], a_lo[g]))
             fb = fwd((b_hi[g], b_lo[g]))
-            c = self._emul(fa, fb)
+            c = self._emul(fa, fb)  # variable*variable: Montgomery
             c = self._matmul_mont(c, w2i, left=False)
-            c = self._emul(c, midi)
+            c = shoup_mul64(c, midi_w, midi_ws, self.q)
             r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
