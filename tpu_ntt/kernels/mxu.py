@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..modmath import mont_mul32, mul32
+from ..modmath import mont_mul32, mul32, shoup_mul32
 from ..params import NttParams
 
 U32 = jnp.uint32
@@ -213,13 +213,18 @@ class MxuPlan:
         self.enter = tiled(lambda i1, i2: r2)  # x -> x*R
         self.exit_scale = tiled(lambda i1, i2: p.n_inv % q)  # xbar*n^-1 -> std
         self.exit_one = tiled(lambda i1, i2: 1)  # xbar -> x (plain REDC)
-        # NWC-folded mid tables (psi^(+-n2) split of the twist)
-        self.mid_nwc = tiled(
-            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) * r % q
+        # NWC-folded mid tables (psi^(+-n2) split of the twist),
+        # Shoup-encoded (plain twiddle + floor(t*2^32/q)): one widening
+        # multiply per elementwise pass, domain-preserving.
+        def shoup_tiled(fn):
+            return (tiled(fn), tiled(lambda i1, i2: (fn(i1, i2) << 32) // q))
+
+        self.mid_nwc = shoup_tiled(
+            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) % q
         )
-        self.mid_inv_nwc = tiled(
+        self.mid_inv_nwc = shoup_tiled(
             lambda k1, m2: pow(omega_inv, k1 * m2, q)
-            * pow(psi_inv, m2, q) % q * p.n_inv % q * r % q
+            * pow(psi_inv, m2, q) % q * p.n_inv % q
         )
 
     # ------------------------------------------------------------------
@@ -365,14 +370,20 @@ class MxuPlan:
         w2, refs = self._take_w(refs)
         w1i, refs = self._take_w(refs)
         w2i, refs = self._take_w(refs)
-        m, mi = (r[...] for r in refs[:2])
-        out_ref = refs[2]
+        m_w, m_s, mi_w, mi_s = (r[...] for r in refs[:4])
+        out_ref = refs[4]
         for g in range(a_ref.shape[0]):
-            fa = self._fwd_group(a_ref[g], w1, w2, m)
-            fb = self._fwd_group(b_ref[g], w1, w2, m)
-            c = self._emul(fa, fb)  # pointwise, stays in domain
+
+            def fwd(x):
+                x = self._matmul_mont(x, w1, left=True)
+                x = shoup_mul32(x, m_w, m_s, self.q)
+                return self._matmul_mont(x, w2, left=False)
+
+            fa = fwd(a_ref[g])
+            fb = fwd(b_ref[g])
+            c = self._emul(fa, fb)  # pointwise (variable), Montgomery
             c = self._matmul_mont(c, w2i, left=False)
-            c = self._emul(c, mi)
+            c = shoup_mul32(c, mi_w, mi_s, self.q)
             out_ref[g] = self._matmul_mont(c, w1i, left=True)
 
     def _cyclic_kernel(self, a_ref, b_ref, *refs):
@@ -483,7 +494,7 @@ class MxuPlan:
             (ga, gb),
             (
                 *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
-                self.mid_nwc, self.mid_inv_nwc,
+                *self.mid_nwc, *self.mid_inv_nwc,
             ),
             interpret=interpret,
         )
