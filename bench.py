@@ -57,9 +57,23 @@ def bench_case(name, batch, iters, kind="nwc"):
     a = make_batch(plan, batch, 1)
     impl = "xla-merged"
     if kind == "fwd":
-        dt = device_seconds_per_iter(
-            lambda x: _ntt.nwc_fwd_merged(plan, x), a, iters=iters
-        )
+        if p.n % 128 == 0 and 256 <= p.n <= 16384:
+            if p.width <= 24:
+                from tpu_ntt.kernels.mxu import MxuPlan
+
+                mp = MxuPlan(p)
+            else:
+                from tpu_ntt.kernels.mxu64 import MxuPlan64
+
+                mp = MxuPlan64(p)
+            dt = device_seconds_per_iter(
+                lambda x: mp.nwc_ntt_fwd(x), a, iters=iters
+            )
+            impl = "pallas-fwd"
+        else:
+            dt = device_seconds_per_iter(
+                lambda x: _ntt.nwc_fwd_merged(plan, x), a, iters=iters
+            )
     elif p.width <= 24:
         # fused Pallas MXU kernel — fastest measured 24-bit path
         from tpu_ntt.kernels.mxu import MxuPlan

@@ -110,3 +110,17 @@ def test_fourstep_perm_is_involution_consistent():
     inv = np.argsort(perm)
     x = np.arange(P24_4096.n)
     assert (x[perm][inv] == x).all()
+
+
+def test_nwc_fwd_kernel_matches_twisted_ntt(rng):
+    """Folded forward kernel = psi-twist + cyclic NTT, four-step layout."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    x = [rng.randrange(p.q) for _ in range(p.n)]
+    out = np.asarray(
+        mp.nwc_ntt_fwd(np.array([x], dtype=np.uint32), interpret=True)
+    )[0]
+    twisted = [x[i] * pow(p.psi, i, p.q) % p.q for i in range(p.n)]
+    nat = reference.cg_ntt(twisted, p.omega, p.q)
+    perm = mp.fourstep_to_natural_perm()
+    assert [int(out[perm[j]]) for j in range(p.n)] == nat

@@ -95,3 +95,16 @@ def test_fwd64_matches_golden_and_roundtrips(rng):
     assert nat == want
     rt = dec(*mp.ntt_inv(f, interpret=True))
     assert [int(v) for v in rt[0]] == x[0]
+
+
+def test_nwc_fwd64_kernel_matches_twisted_ntt(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    x = [rng.randrange(p.q) for _ in range(p.n)]
+    hi, lo = mp.nwc_ntt_fwd(enc([x]), interpret=True)
+    out = dec(hi, lo)[0]
+    twisted = [x[i] * pow(p.psi, i, p.q) % p.q for i in range(p.n)]
+    nat = reference.cg_ntt(twisted, p.omega, p.q)
+    perm = mp.fourstep_to_natural_perm()
+    assert [int(out[perm[j]]) for j in range(p.n)] == nat

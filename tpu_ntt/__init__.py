@@ -41,5 +41,6 @@ from .sharded import (  # noqa: F401
     ShardedNtt,
     default_split,
 )
+from . import dispatch  # noqa: F401
 
 __version__ = "0.1.0"

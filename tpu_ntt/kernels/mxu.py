@@ -180,6 +180,9 @@ class MxuPlan:
         psi128 = pow(p.psi, n2, q)
         psi128_inv = pow(psi128, q - 2, q)
         r2_full = r2  # R^2 mod q
+        # unscaled right matrix: REDC(w * xbar) exits the Montgomery
+        # domain, so the folded forward outputs a plain NWC spectrum
+        self.w2_exit = make_w(dft_matrix(n2, w2), left=False)
         self.w1_nwc = make_w(
             scaled(block_diag(dft_matrix(n1, w1)),
                    lambda c: pow(psi128, c % n1, q) * r2_full % q, axis=1),
@@ -402,6 +405,18 @@ class MxuPlan:
             c = self._inv_group(c, w1i, w2i, mi)
             out_ref[g] = self._emul(c, ex)  # n^-1 scale + domain exit
 
+    def _nwc_fwd_kernel(self, x_ref, *refs):
+        """Twist-folded forward (psi-twist + NTT): 2 matmul steps + 1
+        Shoup pass; plain in, plain NWC spectrum out (four-step layout)."""
+        w1, refs = self._take_w(refs)
+        w2x, refs = self._take_w(refs)
+        m_w, m_s = (r[...] for r in refs[:2])
+        out_ref = refs[2]
+        for g in range(x_ref.shape[0]):
+            x = self._matmul_mont(x_ref[g], w1, left=True)
+            x = shoup_mul32(x, m_w, m_s, self.q)
+            out_ref[g] = self._matmul_mont(x, w2x, left=False)
+
     def _fwd_kernel(self, x_ref, *refs):
         w1, refs = self._take_w(refs)
         w2, refs = self._take_w(refs)
@@ -512,6 +527,18 @@ class MxuPlan:
                 *self.w1, *self.w2, *self.w1i, *self.w2i,
                 self.enter, self.mid, self.mid_inv, self.exit_scale,
             ),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def nwc_ntt_fwd(self, x, interpret: bool = False):
+        """Batched negacyclic forward transform (twist folded), four-step
+        output layout."""
+        gx, bsz = self._group_batch(x)
+        out = self._call(
+            self._nwc_fwd_kernel,
+            (gx,),
+            (*self.w1_nwc, *self.w2_exit, *self.mid_nwc),
             interpret=interpret,
         )
         return out.reshape(-1, self.p.n)[:bsz]

@@ -545,6 +545,24 @@ class MxuPlan64:
     #: reduction dependency chains)
     groups_per_step = 2
 
+    def _nwc_fwd_kernel(
+        self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b,
+        mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
+    ):
+        """Twist-folded forward: the reference's benchmarked forward_ntt
+        (psi-twist + NTT, software_benchmark/benchmark_ntt.cpp:207-211) as
+        2 matmul steps + 1 Shoup pass; plain in, plain NWC spectrum out
+        (four-step layout)."""
+        w1, w2p = (w1_l, w1_b), (w2p_l, w2p_b)
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        for g in range(x_hi.shape[0]):
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            r_hi, r_lo = self._matmul_mont(x, w2p, left=False)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
         step = self.t * self.groups_per_step
@@ -639,6 +657,18 @@ class MxuPlan64:
             self._inv_kernel,
             (gx_hi, gx_lo),
             (*self.w1i, *self.w2i, *self.mid_inv, *self.exit_scale_m64),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def nwc_ntt_fwd(self, x, interpret: bool = False):
+        """Batched negacyclic forward transform (twist folded), four-step
+        output layout, plain domain in and out."""
+        gx_hi, gx_lo, bsz = self._group_batch(*x)
+        out = self._call(
+            self._nwc_fwd_kernel,
+            (gx_hi, gx_lo),
+            (*self.w1_nwc, *self.w2_plain, *self.mid_nwc),
             interpret,
         )
         return self._unflatten(out, bsz)
