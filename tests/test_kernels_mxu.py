@@ -124,3 +124,27 @@ def test_nwc_fwd_kernel_matches_twisted_ntt(rng):
     nat = reference.cg_ntt(twisted, p.omega, p.q)
     perm = mp.fourstep_to_natural_perm()
     assert [int(out[perm[j]]) for j in range(p.n)] == nat
+
+
+def test_largest_kernel_n_16384(rng):
+    """n = 16384 (n1 = 128, t = 1: the full-dense-W1 edge case) with a
+    24-bit prime of 2-adicity 15 (q = 506*32768 + 1), checked against the
+    independent native oracle (beyond the reference's largest n = 4096)."""
+    from tpu_ntt import native
+    from tpu_ntt.params import make_params
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    p = make_params(16384, 16580609)
+    mp = MxuPlan(p)
+    assert (mp.n1, mp.t) == (128, 1)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    got = np.asarray(
+        mp.nwc_poly_mult(
+            np.array([a], dtype=np.uint32), np.array([b], dtype=np.uint32),
+            interpret=True,
+        )
+    )[0]
+    want = native.nwc_fast(a, b, p.q, p.psi)
+    assert [int(v) for v in got] == want
