@@ -148,3 +148,20 @@ def test_largest_kernel_n_16384(rng):
     )[0]
     want = native.nwc_fast(a, b, p.q, p.psi)
     assert [int(v) for v in got] == want
+
+
+def test_cached_spectrum_product(rng):
+    """Repeated-operand workload: NTT(b) cached once, many a*b products —
+    one forward transform per product instead of two."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    a_rows = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(3)]
+    spec = mp.nwc_spectrum(np.array([b] * 3, dtype=np.uint32), interpret=True)
+    got = np.asarray(
+        mp.nwc_poly_mult_cached(np.array(a_rows, dtype=np.uint32), spec,
+                                interpret=True)
+    )
+    for i in range(3):
+        want = reference.nwc_poly_mult(a_rows[i], b, p)
+        assert [int(v) for v in got[i]] == want

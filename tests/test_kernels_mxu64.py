@@ -108,3 +108,16 @@ def test_nwc_fwd64_kernel_matches_twisted_ntt(rng):
     nat = reference.cg_ntt(twisted, p.omega, p.q)
     perm = mp.fourstep_to_natural_perm()
     assert [int(out[perm[j]]) for j in range(p.n)] == nat
+
+
+def test_cached_spectrum_product_64(rng):
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    a_rows = [[rng.randrange(p.q) for _ in range(p.n)] for _ in range(2)]
+    spec = mp.nwc_spectrum(enc([b, b]), interpret=True)
+    got = dec(*mp.nwc_poly_mult_cached(enc(a_rows), spec, interpret=True))
+    for i in range(2):
+        want = reference.nwc_poly_mult(a_rows[i], b, p)
+        assert [int(v) for v in got[i]] == want

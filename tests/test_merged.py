@@ -94,3 +94,24 @@ def test_negacyclic_wraparound_sign():
     )[0]
     want = [p.q - 1] + [0] * (p.n - 1)
     assert [int(v) for v in got] == want
+
+
+def test_60bit_n8192_beyond_reference(rng):
+    """The shipped 60-bit modulus has 2-adicity 14, so n = 8192 — twice the
+    reference's largest size — is supported; checked vs the native oracle."""
+    from tpu_ntt import native
+    from tpu_ntt.params import make_params
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    p = make_params(8192, P60_4096.q)
+    plan = NttPlan(p)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    got = plan.decode(
+        jax.jit(lambda x, y: N.nwc_poly_mult_merged(plan, x, y))(
+            enc_batch(plan, [a]), enc_batch(plan, [b])
+        )
+    )[0]
+    want = native.nwc_fast(a, b, p.q, p.psi)
+    assert [int(v) for v in got] == want

@@ -545,6 +545,47 @@ class MxuPlan64:
     #: reduction dependency chains)
     groups_per_step = 2
 
+    def _nwc_spec_kernel(
+        self, x_hi, x_lo, w1_l, w1_b, w2_l, w2_b,
+        mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
+    ):
+        """Forward half of the fused NWC pipeline, output left in the
+        Montgomery-64 domain — the cacheable operand spectrum."""
+        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        for g in range(x_hi.shape[0]):
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            r_hi, r_lo = self._matmul_mont(x, w2, left=False)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
+    def _nwc_cached_kernel(
+        self, a_hi, a_lo, s_hi, s_lo,
+        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
+    ):
+        """Product against a precomputed Montgomery-64 spectrum: one
+        forward transform instead of two."""
+        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
+        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+        for g in range(a_hi.shape[0]):
+            x = self._matmul_mont((a_hi[g], a_lo[g]), w1, left=True)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            fa = self._matmul_mont(x, w2, left=False)
+            c = self._emul(fa, (s_hi[g], s_lo[g]))
+            c = self._matmul_mont(c, w2i, left=False)
+            c = shoup_mul64(c, midi_w, midi_ws, self.q)
+            r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
     def _nwc_fwd_kernel(
         self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
@@ -657,6 +698,33 @@ class MxuPlan64:
             self._inv_kernel,
             (gx_hi, gx_lo),
             (*self.w1i, *self.w2i, *self.mid_inv, *self.exit_scale_m64),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def nwc_spectrum(self, x, interpret: bool = False):
+        """Cacheable operand spectrum (Montgomery-64 domain, four-step
+        layout) for nwc_poly_mult_cached."""
+        gx_hi, gx_lo, bsz = self._group_batch(*x)
+        out = self._call(
+            self._nwc_spec_kernel,
+            (gx_hi, gx_lo),
+            (*self.w1_nwc, *self.w2, *self.mid_nwc),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def nwc_poly_mult_cached(self, a, spectrum, interpret: bool = False):
+        """Negacyclic product of a against a cached nwc_spectrum."""
+        ga_hi, ga_lo, bsz = self._group_batch(*a)
+        gs_hi, gs_lo, _ = self._group_batch(*spectrum)
+        out = self._call(
+            self._nwc_cached_kernel,
+            (ga_hi, ga_lo, gs_hi, gs_lo),
+            (
+                *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+                *self.mid_nwc, *self.mid_inv_nwc,
+            ),
             interpret,
         )
         return self._unflatten(out, bsz)
