@@ -92,3 +92,17 @@ def test_stream_unary_fwd(rng):
     got = stream.get()
     want = reference.cg_ntt(list(a[0]), p.omega, p.q)
     assert [int(v) for v in got[0]] == want
+
+
+def test_stream_fast_numeric_path(rng):
+    """uint32 numpy input takes the vectorized encode path."""
+    p = DILITHIUM_256
+    stream = NttStream(p)
+    a = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint32)
+    b = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint32)
+    stream.submit(a, b)
+    got = stream.get()
+    want = reference.nwc_poly_mult(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], p
+    )
+    assert [int(v) for v in got[0]] == want

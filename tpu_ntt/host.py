@@ -164,12 +164,19 @@ class NttStream:
                     if not all(l.is_ready() for l in jax.tree.leaves(r))]
         while len(inflight) >= self.max_inflight:
             jax.block_until_ready(inflight.pop(0))
-        ea = self.plan.encode(np.asarray(a, dtype=object))
+        ea = self._encode(a)
         if self._unary:
             self._queue.append(self._fn(ea))
         else:
-            eb = self.plan.encode(np.asarray(b, dtype=object))
-            self._queue.append(self._fn(ea, eb))
+            self._queue.append(self._fn(ea, self._encode(b)))
+
+    def _encode(self, x):
+        """Fast vectorized path for numeric numpy input; object-dtype
+        (python big-int) arrays go through the exact encoder."""
+        arr = np.asarray(x)
+        if arr.dtype != object and np.issubdtype(arr.dtype, np.integer):
+            return self.plan.encode_u64(arr.astype(np.uint64))
+        return self.plan.encode(np.asarray(x, dtype=object))
 
     def get(self) -> np.ndarray:
         """Dequeue the oldest result (blocks until it is ready)."""
