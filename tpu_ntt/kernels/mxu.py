@@ -472,16 +472,21 @@ class MxuPlan:
     # pallas_call wrappers
     # ------------------------------------------------------------------
 
-    #: groups of 128x128 processed per grid step (amortizes per-step
-    #: pipeline overhead; each group is t polynomials)
-    groups_per_step = 4
+    #: max groups of 128x128 processed per grid step (amortizes per-step
+    #: pipeline overhead; each group is t polynomials).  Clamped to the
+    #: actual group count so small batches pay no padding.
+    groups_per_step = 8
+
+    def _eff_gps(self, batch_rows: int) -> int:
+        groups = -(-batch_rows // self.t)
+        return max(1, min(self.groups_per_step, groups))
 
     def _group_batch(self, x):
         """(B, n) uint32 -> (G, 128, 128) groups of t polys, plus pad info.
 
-        G is padded to a multiple of groups_per_step."""
+        G is padded to a multiple of the effective groups-per-step."""
         b = x.shape[0]
-        step = self.t * self.groups_per_step
+        step = self.t * self._eff_gps(b)
         pad = (-b) % step
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), U32)], axis=0)
@@ -489,7 +494,7 @@ class MxuPlan:
         return x.reshape(g, LANES, LANES), b
 
     def _call(self, kernel, data_args, table_args, interpret=False):
-        gps = self.groups_per_step
+        gps = self._eff_gps(data_args[0].shape[0] * self.t)
         g = data_args[0].shape[0]
         data_spec = pl.BlockSpec(
             (gps, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -545,6 +545,12 @@ class MxuPlan64:
     #: reduction dependency chains)
     groups_per_step = 2
 
+    def _eff_gps(self, batch_rows: int) -> int:
+        """Clamp groups-per-step to the actual group count so small
+        batches pay no padding."""
+        groups = -(-batch_rows // self.t)
+        return max(1, min(self.groups_per_step, groups))
+
     def _nwc_spec_kernel(
         self, x_hi, x_lo, w1_l, w1_b, w2_l, w2_b,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
@@ -606,7 +612,7 @@ class MxuPlan64:
 
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
-        step = self.t * self.groups_per_step
+        step = self.t * self._eff_gps(b)
         pad = (-b) % step
         if pad:
             z = jnp.zeros((pad, hi.shape[1]), U32)
@@ -617,7 +623,7 @@ class MxuPlan64:
 
     def _call(self, kernel, data, tables, interpret):
         """data: flat tuple of (G,128,128) arrays; returns (hi, lo)."""
-        gps = self.groups_per_step
+        gps = self._eff_gps(data[0].shape[0] * self.t)
         g = data[0].shape[0]
         data_spec = pl.BlockSpec(
             (gps, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
