@@ -106,3 +106,31 @@ def test_stream_fast_numeric_path(rng):
         [int(v) for v in a[0]], [int(v) for v in b[0]], p
     )
     assert [int(v) for v in got[0]] == want
+
+
+def test_wait_times_out_on_stuck_dispatch():
+    """NttDevice.wait must enforce its deadline by polling readiness, not by
+    blocking unboundedly first (round-1 advisor finding)."""
+    import pytest
+    from tpu_ntt import DILITHIUM_256
+    from tpu_ntt.host import NttDevice, Phase
+
+    dev = NttDevice(DILITHIUM_256)
+
+    class NeverReady:
+        def is_ready(self):
+            return False
+
+    dev._result = NeverReady()
+    dev.phase = Phase.RUNNING
+    with pytest.raises(TimeoutError):
+        dev.wait(timeout_s=0.05, poll_s=0.005)
+
+
+def test_wait_before_start_raises():
+    from tpu_ntt import DILITHIUM_256
+    from tpu_ntt.host import NttDevice
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        NttDevice(DILITHIUM_256).wait(timeout_s=0.1)

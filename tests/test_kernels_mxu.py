@@ -95,7 +95,7 @@ def test_edge_values():
 
 
 def test_rejects_wide_modulus():
-    with pytest.raises(ValueError, match="2\\^25"):
+    with pytest.raises(ValueError, match="2\\^24"):
         MxuPlan(P60_4096)
 
 

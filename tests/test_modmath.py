@@ -148,3 +148,42 @@ def test_ring_standard_domain_mul(ring_cls, p, red, rng):
     got2 = ring.decode(ring.mul(a, b))
     for (x, y), g in zip(vals, got2):
         assert g == (x * y) % q
+
+
+@pytest.mark.parametrize("backend", [Reduction.SHOUP, Reduction.MONTGOMERY,
+                                     Reduction.BARRETT])
+def test_ring64_width31_modulus_exact(backend, rng):
+    """Regression: a 31-bit modulus routes to Ring64 (Ring32 caps at width
+    30) while NttParams derives Montgomery constants for R=2^32 — the ring
+    must derive its own R=2^64 constants or products silently corrupt."""
+    from tpu_ntt.params import make_params
+    from tpu_ntt.modmath import make_ring
+
+    p = make_params(8, 1073741857)  # 31-bit prime, 16 | q-1
+    assert p.mont_bits == 32  # the hazardous configuration
+    ring = make_ring(p, backend)
+    assert ring.nlimbs == 2
+    pairs = boundary_pairs(p.q, rng, count=64)
+    a = ring.encode([x for x, _ in pairs])
+    b = ring.encode([y for _, y in pairs])
+    tw = ring.encode_tw([y for _, y in pairs])
+    got_mul = ring.decode(ring.mul(a, b))
+    got_tw = ring.decode(ring.mul_tw(a, tw))
+    for (x, y), m, t in zip(pairs, got_mul, got_tw):
+        assert m == x * y % p.q
+        assert t == x * y % p.q
+
+
+def test_ring64_width31_poly_mult(rng):
+    """End-to-end product through the default dispatch for a 31-bit prime
+    (the exact reachable path of the round-1 advisor finding)."""
+    from tpu_ntt import reference
+    from tpu_ntt.params import make_params
+    from tpu_ntt.ntt import NttPlan, nwc_poly_mult
+
+    p = make_params(16, 1073741857)
+    plan = NttPlan(p)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    got = plan.decode(nwc_poly_mult(plan, plan.encode(a), plan.encode(b)))
+    assert list(got) == reference.nwc_poly_mult(a, b, p)

@@ -106,11 +106,23 @@ class NttDevice:
             return 1
         return 0
 
-    def wait(self, timeout_s: float = 60.0) -> None:
+    def wait(self, timeout_s: float = 60.0, poll_s: float = 0.01) -> None:
+        """Block until done or raise TimeoutError at the deadline.
+
+        Polls buffer readiness instead of calling block_until_ready (which
+        blocks unboundedly and would make the timeout decorative) — the TPU
+        analog of the RoCC status poll loop (chipyard/ntt-test.c:144-148).
+        """
+        if self._result is None:
+            raise RuntimeError("start() has not been called")
         deadline = time.monotonic() + timeout_s
-        jax.block_until_ready(self._result)
-        if time.monotonic() > deadline:
-            raise TimeoutError("poly_mult did not finish in time")
+        leaves = jax.tree.leaves(self._result)
+        while not all(l.is_ready() for l in leaves):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"poly_mult did not finish within {timeout_s}s"
+                )
+            time.sleep(poll_s)
         self.phase = Phase.DONE
 
     def read(self, addr: int) -> int:

@@ -30,7 +30,8 @@ lane gathers, but exact small-integer matmuls):
   R = 2^32).  Domain entry is folded into the psi-twist table (psi^i * R^2)
   and exit into the untwist table (psi^-i * n^-1, plain), so conversion is
   free in the fused pipeline.  Validity needs 128 * q^2 < q * 2^32, i.e.
-  q < 2^25 — covers the shipped 24-bit sets; wider moduli use the XLA path
+  q < 2^25; the plan enforces width <= 24 (q < 2^24) so operands stay
+  3-limb — covers the shipped 24-bit sets; wider moduli use the XLA path
   (ntt.py) or the double-word kernel (mxu64.py).
 
 Reference arithmetic being replaced: Montgomery REDC is the
@@ -70,7 +71,8 @@ def _limb_split_bf16(mat: np.ndarray, nlimbs: int) -> np.ndarray:
 class MxuPlan:
     """Host-side constants for the MXU kernels of one parameter set.
 
-    Requires q < 2^25 (REDC validity, see module docstring) and
+    Requires width <= 24, i.e. q < 2^24 (REDC needs q < 2^25; the plan
+    additionally keeps operands 3-limb — see module docstring) and
     256 <= n <= 16384 with n % 128 == 0.
 
     ``int8_path=True`` runs the limb matmuls on the int8 MXU pipeline
@@ -85,7 +87,7 @@ class MxuPlan:
     def __init__(self, p: NttParams, int8_path: bool = True):
         if p.width > 24:
             raise ValueError(
-                f"MxuPlan requires q < 2^25 (got {p.width}-bit q); use the "
+                f"MxuPlan requires width <= 24, q < 2^24 (got {p.width}-bit q); use the "
                 "XLA path or RNS for wider moduli"
             )
         if p.n % LANES or not (2 * LANES <= p.n <= LANES * LANES):
@@ -316,8 +318,8 @@ class MxuPlan:
                 diags[k] = prod if diags[k] is None else diags[k] + prod
         diags = [(d + i32(self._diag_off)).astype(U32) for d in diags]
 
-        # accumulator = BASE + KS * (line sum of x); x values < 2^23 so the
-        # int32 line sum (< 2^30) is exact, and KS*sum < 2^54 fits the pair.
+        # accumulator = BASE + KS * (line sum of x); x values < q < 2^24 so
+        # the int32 line sum (< 2^31) is exact, and KS*sum < 2^55 fits the pair.
         lsum = jnp.sum(x.astype(i32), axis=0 if left else 1, keepdims=True)
         ch, cl = mul32(lsum.astype(U32), jnp.full_like(lsum, self._ks).astype(U32))
         lo = base[0] + cl

@@ -364,6 +364,17 @@ class Ring64:
         if reduction is Reduction.SIMPLE:
             reduction = Reduction.BARRETT
         self.reduction = reduction
+        # Montgomery constants for THIS ring's word size (R = 2^64).  For
+        # 31-bit moduli NttParams derives its constants for R = 2^32
+        # (mont_bits picks the narrower word), but mont_mul64 always reduces
+        # by 2^64 — using the params constants there would silently corrupt
+        # products, so recompute locally when the widths disagree.
+        if p.mont_bits == 64:
+            self._q_prime64 = p.mont_q_prime
+            self._r2_mod_q64 = p.mont_r2_mod_q
+        else:
+            self._q_prime64 = (-pow(self.q, -1, 1 << 64)) % (1 << 64)
+            self._r2_mod_q64 = pow(1 << 64, 2, self.q)
 
     def add(self, a, b):
         return add_mod64(a, b, self.q)
@@ -387,9 +398,9 @@ class Ring64:
         if self.reduction in (Reduction.MONTGOMERY, Reduction.SHOUP):
             # Shoup applies only to constant operands; variable*variable
             # products (pointwise) use Montgomery double-REDC.
-            qp = self.p.mont_q_prime
+            qp = self._q_prime64
             ab_r_inv = mont_mul64(a, b, self.q, qp)
-            r2 = const64(self.p.mont_r2_mod_q, a[1])
+            r2 = const64(self._r2_mod_q64, a[1])
             return mont_mul64(ab_r_inv, r2, self.q, qp)
         return self._barrett(a, b)
 
@@ -397,7 +408,7 @@ class Ring64:
         if self.reduction is Reduction.SHOUP:
             return shoup_mul64(a, tw[0], tw[1], self.q)
         if self.reduction is Reduction.MONTGOMERY:
-            return mont_mul64(a, tw, self.q, self.p.mont_q_prime)
+            return mont_mul64(a, tw, self.q, self._q_prime64)
         return self._barrett(a, tw)
 
     def select(self, pred, t, f):
@@ -415,7 +426,8 @@ class Ring64:
             ws = encode64([(int(v) << 64) // self.q for v in values])
             return (w, ws)
         if self.reduction is Reduction.MONTGOMERY:
-            values = [self.p.to_mont(v) for v in values]
+            # This ring's domain is R = 2^64 regardless of p.mont_bits.
+            values = [(int(v) << 64) % self.q for v in values]
         return encode64(values)
 
     def decode(self, arr) -> list:
