@@ -25,8 +25,7 @@ import numpy as np
 
 import jax
 
-from tpu_ntt import PRESETS, NttPlan
-from tpu_ntt import ntt as _ntt
+from tpu_ntt import PRESETS, NttPlan, dispatch
 from tpu_ntt.benchlib import device_seconds_per_iter
 
 # Reference FPGA best for the full 4096-pt poly-mult (153.10 us @ 250 MHz).
@@ -52,55 +51,20 @@ def make_batch(plan, batch, seed):
 
 
 def bench_case(name, batch, iters, kind="nwc"):
+    """Time one workload via the SINGLE dispatch policy (tpu_ntt.dispatch):
+    the benchmark measures exactly what users get, with no second copy of
+    the backend-selection table."""
     p = PRESETS[name]
     plan = NttPlan(p)
     a = make_batch(plan, batch, 1)
-    impl = "xla-merged"
+    op = "nwc_fwd" if kind == "fwd" else "nwc"
+    impl = dispatch.impl_name(p, op)
+    fn = dispatch.best(p, op)
     if kind == "fwd":
-        if p.n % 128 == 0 and 256 <= p.n <= 16384:
-            if p.width <= 24:
-                from tpu_ntt.kernels.mxu import MxuPlan
-
-                mp = MxuPlan(p)
-            else:
-                from tpu_ntt.kernels.mxu64 import MxuPlan64
-
-                mp = MxuPlan64(p)
-            dt = device_seconds_per_iter(
-                lambda x: mp.nwc_ntt_fwd(x), a, iters=iters
-            )
-            impl = "pallas-fwd"
-        else:
-            dt = device_seconds_per_iter(
-                lambda x: _ntt.nwc_fwd_merged(plan, x), a, iters=iters
-            )
-    elif p.width <= 24:
-        # fused Pallas MXU kernel — fastest measured 24-bit path
-        from tpu_ntt.kernels.mxu import MxuPlan
-
-        mp = MxuPlan(p)
-        b = make_batch(plan, batch, 2)
-        dt = device_seconds_per_iter(
-            lambda x, y: mp.nwc_poly_mult(x, y), a, b, iters=iters
-        )
-        impl = "pallas-mxu"
-    elif p.n % 128 == 0 and 256 <= p.n <= 16384:
-        # double-word Pallas kernel: VMEM-resident, so unlike the XLA path
-        # it does not go HBM-bound at large batch
-        from tpu_ntt.kernels.mxu64 import MxuPlan64
-
-        mp = MxuPlan64(p)
-        b = make_batch(plan, batch, 2)
-        dt = device_seconds_per_iter(
-            lambda x, y: mp.nwc_poly_mult(x, y), a, b, iters=iters
-        )
-        impl = "pallas-mxu64"
+        dt = device_seconds_per_iter(fn, a, iters=iters)
     else:
         b = make_batch(plan, batch, 2)
-        dt = device_seconds_per_iter(
-            lambda x, y: _ntt.nwc_poly_mult_merged(plan, x, y), a, b,
-            iters=iters,
-        )
+        dt = device_seconds_per_iter(fn, a, b, iters=iters)
     rate = batch / dt
     log(f"  {name} {kind} [{impl}]: batch={batch} {dt * 1e3:.3f} ms/iter "
         f"-> {rate:,.0f} op/s")

@@ -16,6 +16,19 @@
 // Algorithms: iterative in-place Cooley-Tukey NTT (decimation-in-time,
 // bit-reversed input ordering), psi-twist negacyclic wrapping, 128-bit
 // modular multiply via unsigned __int128.
+//
+// SIMD: --simd scalar|avx2|avx512|auto (default auto) — the counterpart of
+// the reference's 12 BENCH_SIMD_KIND build targets
+// (software_benchmark/CMakeLists.txt:31-60), selected at RUN time via
+// target-attribute multiversioning instead of 12 binaries.  Where the
+// reference vectorizes only the pointwise product (benchmark_ntt.cpp:
+// 151-192, with a scalar % Q per lane), this harness vectorizes the full
+// Barrett reduction and applies it to the pointwise pass, the psi twists,
+// the NTT butterfly inner loops AND the direct O(n^2) path (the
+// benchmark_simple AVX dot-kernel analog) — valid for q < 2^31; the 60-bit
+// modulus needs 128-bit products and stays scalar, matching the reference
+// whose 60-bit SIMD kinds are also scalar passthrough
+// (benchmark_ntt_60bit.cpp:142-146 has no SIMD pointwise).
 
 #include <algorithm>
 #include <chrono>
@@ -25,8 +38,102 @@
 #include <string>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#define NTT_BENCH_X86 1
+#else
+#define NTT_BENCH_X86 0
+#endif
+
 using u64 = std::uint64_t;
 using u128 = unsigned __int128;
+
+enum class Simd { kScalar, kAvx2, kAvx512 };
+
+static const char* simd_name(Simd s) {
+  switch (s) {
+    case Simd::kAvx2: return "avx2";
+    case Simd::kAvx512: return "avx512";
+    default: return "scalar";
+  }
+}
+
+static Simd detect_simd() {
+#if NTT_BENCH_X86
+  __builtin_cpu_init();
+  if (__builtin_cpu_supports("avx512f")) return Simd::kAvx512;
+  if (__builtin_cpu_supports("avx2")) return Simd::kAvx2;
+#endif
+  return Simd::kScalar;
+}
+
+#if NTT_BENCH_X86
+// ---------------------------------------------------------------------------
+// Vectorized Barrett arithmetic, valid for q < 2^31: operands in [0, q)
+// keep every _mm*_mul_epu32 exact (both factors < 2^32) and every
+// intermediate below 2^63, so signed 64-bit compares are safe.
+// q1 = p >> (k-1); q2 = (q1*mu) >> (k+1); r = p - q2*q; r -= q twice.
+// ---------------------------------------------------------------------------
+
+__attribute__((target("avx2"))) static inline __m256i barrett_mul_4(
+    __m256i a, __m256i b, __m256i qv, __m256i muv, __m128i sh_lo,
+    __m128i sh_hi) {
+  const __m256i p = _mm256_mul_epu32(a, b);
+  const __m256i q1 = _mm256_srl_epi64(p, sh_lo);
+  const __m256i q2 = _mm256_srl_epi64(_mm256_mul_epu32(q1, muv), sh_hi);
+  __m256i r = _mm256_sub_epi64(p, _mm256_mul_epu32(q2, qv));
+  for (int rep = 0; rep < 2; ++rep) {
+    const __m256i ge =
+        _mm256_cmpgt_epi64(_mm256_add_epi64(r, _mm256_set1_epi64x(1)), qv);
+    r = _mm256_sub_epi64(r, _mm256_and_si256(ge, qv));
+  }
+  return r;
+}
+
+__attribute__((target("avx2"))) static inline __m256i add_mod_4(__m256i a,
+                                                                __m256i b,
+                                                                __m256i qv) {
+  const __m256i s = _mm256_add_epi64(a, b);
+  const __m256i ge =
+      _mm256_cmpgt_epi64(_mm256_add_epi64(s, _mm256_set1_epi64x(1)), qv);
+  return _mm256_sub_epi64(s, _mm256_and_si256(ge, qv));
+}
+
+__attribute__((target("avx2"))) static inline __m256i sub_mod_4(__m256i a,
+                                                                __m256i b,
+                                                                __m256i qv) {
+  const __m256i d = _mm256_sub_epi64(a, b);
+  const __m256i lt = _mm256_cmpgt_epi64(b, a);
+  return _mm256_add_epi64(d, _mm256_and_si256(lt, qv));
+}
+
+__attribute__((target("avx512f"))) static inline __m512i barrett_mul_8(
+    __m512i a, __m512i b, __m512i qv, __m512i muv, unsigned k) {
+  const __m512i p = _mm512_mul_epu32(a, b);
+  const __m512i q1 = _mm512_srli_epi64(p, k - 1);
+  const __m512i q2 = _mm512_srli_epi64(_mm512_mul_epu32(q1, muv), k + 1);
+  __m512i r = _mm512_sub_epi64(p, _mm512_mul_epu32(q2, qv));
+  for (int rep = 0; rep < 2; ++rep) {
+    const __mmask8 ge = _mm512_cmpge_epu64_mask(r, qv);
+    r = _mm512_mask_sub_epi64(r, ge, r, qv);
+  }
+  return r;
+}
+
+__attribute__((target("avx512f"))) static inline __m512i add_mod_8(__m512i a,
+                                                                   __m512i b,
+                                                                   __m512i qv) {
+  const __m512i s = _mm512_add_epi64(a, b);
+  return _mm512_mask_sub_epi64(s, _mm512_cmpge_epu64_mask(s, qv), s, qv);
+}
+
+__attribute__((target("avx512f"))) static inline __m512i sub_mod_8(__m512i a,
+                                                                   __m512i b,
+                                                                   __m512i qv) {
+  const __m512i d = _mm512_sub_epi64(a, b);
+  return _mm512_mask_add_epi64(d, _mm512_cmplt_epu64_mask(a, b), d, qv);
+}
+#endif  // NTT_BENCH_X86
 
 static u64 mulmod(u64 a, u64 b, u64 q) { return (u128)a * b % q; }
 

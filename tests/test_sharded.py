@@ -39,12 +39,13 @@ def test_fourstep_local_fwd_matches_golden(p, n1, rng=random.Random(7)):
     x = rand_poly(rng, p)
     want = reference.cg_ntt(x, p.omega, p.q)
     got4 = fs.decode(jax.jit(lambda v: sharded.fourstep_fwd_local(fs, v))(fs.encode(x)))
-    # four-step layout: entry [k1, k2] holds X[k2*n1 + k1]
+    # transform-domain layout: entry [j1, j2] holds X[spectrum_indices()[j1, j2]]
     got = np.empty(p.n, dtype=object)
     g = got4.reshape(fs.n1, fs.n2)
-    for k1 in range(fs.n1):
-        for k2 in range(fs.n2):
-            got[k2 * fs.n1 + k1] = g[k1, k2]
+    idx = fs.spectrum_indices()
+    for j1 in range(fs.n1):
+        for j2 in range(fs.n2):
+            got[idx[j1, j2]] = g[j1, j2]
     assert list(got) == want
 
 
@@ -150,6 +151,90 @@ def test_large_n_two_pow_16(rng=random.Random(14)):
     enc = sn.put_natural(fs.encode(x), batched=False)
     out = sn.ntt_inv(sn.ntt_fwd(enc, batched=False), batched=False)
     assert list(fs.decode(out)) == x
+
+
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P60_4096, 64)])
+def test_fused_exchange_matches_xla_a2a(p, n1, rng=random.Random(30)):
+    """Flag-guarded Pallas RDMA all-to-all (make_async_remote_copy) is
+    bit-identical to the jax.lax.all_to_all exchange, via TPU interpret
+    mode's simulated remote DMAs on the CPU mesh.  Cannot be perf-tested
+    on this 1-chip setup (see sharded.py docs) — correctness only."""
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    mesh = make_mesh((8,), ("coeff",))
+    sn_x = sharded.ShardedNtt(fs, mesh)
+    sn_f = sharded.ShardedNtt(fs, mesh, fused_exchange=True)
+    x = rand_poly(rng, p)
+    enc = lambda sn: sn.put_natural(fs.encode(x), batched=False)
+    want = fs.decode(sn_x.ntt_fwd(enc(sn_x), batched=False))
+    got = fs.decode(sn_f.ntt_fwd(enc(sn_f), batched=False))
+    assert list(got) == list(want)
+    rt = fs.decode(
+        sn_f.ntt_inv(sn_f.ntt_fwd(enc(sn_f), batched=False), batched=False)
+    )
+    assert list(rt) == x
+
+
+def test_fused_exchange_nwc_product_vs_golden(rng=random.Random(31)):
+    p = DILITHIUM_256
+    fs = sharded.FourStepPlan(p, 16, 16)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh, fused_exchange=True)
+    a, b = rand_poly(rng, p), rand_poly(rng, p)
+    got = fs.decode(
+        sn.nwc_poly_mult(
+            sn.put_natural(fs.encode(a), batched=False),
+            sn.put_natural(fs.encode(b), batched=False),
+            batched=False,
+        )
+    )
+    assert list(got) == reference.nwc_poly_mult(a, b, p)
+
+
+def test_fused_exchange_2d_mesh_batched(rng=random.Random(32)):
+    """RDMA exchange with a 2-axis mesh: peer coordinates vary only on the
+    coeff axis while the batch axis coordinate rides along."""
+    p = DILITHIUM_256
+    fs = sharded.FourStepPlan(p, 16, 16)
+    mesh = make_mesh((2, 4), ("batch", "coeff"))
+    sn = sharded.ShardedNtt(fs, mesh, batch_axis="batch",
+                            fused_exchange=True)
+    batch = 4
+    polys_a = [rand_poly(rng, p) for _ in range(batch)]
+    polys_b = [rand_poly(rng, p) for _ in range(batch)]
+    a = sn.put_natural(fs.encode(np.array(polys_a, dtype=object)))
+    b = sn.put_natural(fs.encode(np.array(polys_b, dtype=object)))
+    got = fs.decode(sn.jit_nwc_poly_mult()(a, b))
+    for i in range(batch):
+        assert list(got[i]) == reference.nwc_poly_mult(
+            polys_a[i], polys_b[i], p
+        )
+
+
+def test_config5_n_two_pow_20_nwc_product(rng=random.Random(20)):
+    """The SURVEY §2.8 config-5 target size: a full n = 2^20 negacyclic
+    product through the sharded four-step path on the 8-device mesh,
+    checked against the independent native O(n log n) oracle.  The
+    reference explicitly defers this scale to future work
+    (reports/final-report.tex:1811); here it is one all-to-all per
+    transform over the mesh (ICI/DCN on real hardware)."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 998244353  # 119 * 2^23 + 1: 2-adicity 23 supports 2n = 2^21
+    p = make_params(1 << 20, q)
+    fs = sharded.FourStepPlan(p, 1024, 1024)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    nrng = np.random.default_rng(20)
+    a = nrng.integers(0, q, size=p.n, dtype=np.uint64)
+    b = nrng.integers(0, q, size=p.n, dtype=np.uint64)
+    enc = lambda v: sn.put_natural(
+        v.astype(np.uint32).reshape(fs.n1, fs.n2), batched=False
+    )
+    got = fs.decode(sn.nwc_poly_mult(enc(a), enc(b), batched=False))
+    want = native.nwc_fast([int(v) for v in a], [int(v) for v in b], q, p.psi)
+    assert [int(v) for v in got] == want
 
 
 def test_batch_pjit_data_parallel(rng=random.Random(15)):

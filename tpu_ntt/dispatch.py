@@ -1,19 +1,35 @@
 """Implementation dispatch: pick the fastest measured path per workload.
 
-Single user-facing entry point for "just multiply these polynomials as fast
-as this chip allows":
+Single source of truth for "which backend runs this operation on this
+parameter set" — the TPU-native analog of the reference's REDUCTION_TYPE /
+PARALLEL configuration mux (rtl/mod_mult.v:21-128 selects the arithmetic
+backend; here the selection spans whole pipeline implementations).  The
+benchmark harness (bench.py) and users both consume this policy, so there is
+exactly one copy of it.
 
     mult = tpu_ntt.dispatch.best_nwc_poly_mult(params)
     out = mult(a, b)        # (B, n) uint arrays in, same out
 
-Selection policy (measured on TPU v5e, see CLAUDE.md performance ledger and
+Selection policy (measured on TPU v5e; CLAUDE.md performance ledger and
 docs/DESIGN.md §2):
-  * q < 2^25, 256 <= n <= 16384, n % 128 == 0  ->  fused Pallas MXU kernel
+  * q < 2^24, 256 <= n <= 16384, n % 128 == 0  ->  fused int8-MXU Pallas
+    kernel (kernels/mxu.py), every operation.
+  * 2^24 <= q < 2^62 with the same n window     ->  double-word int8-MXU
+    kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
+    XLA path it stays flat in throughput as batch grows).
   * otherwise                                   ->  XLA merged-psi + Shoup
+    (ntt.py), single- or double-word by q.
 
-Both produce bit-identical results; the returned callable is jitted and
-accepts/returns plain numpy/JAX uint arrays ((B, n) uint32 for q < 2^31,
+All backends are bit-identical; the returned callables are jitted and
+accept/return plain numpy/JAX uint arrays ((B, n) uint32 for q < 2^31,
 (hi, lo) uint32 pairs — or a (B, n) uint64 array, auto-split — otherwise).
+
+Layout note: ``best_ntt_fwd`` / ``best_nwc_ntt_fwd`` return the spectrum in
+the selected backend's transform layout (four-step order for the kernels,
+bit-reversed order for the XLA merged path).  The matching ``best_ntt_inv``
+consumes exactly that layout, and ``best_nwc_poly_mult_cached`` consumes
+spectra from ``best_nwc_spectrum`` of the same params — pairs always come
+from one backend, so layouts compose; only cross-backend mixing would not.
 """
 
 from __future__ import annotations
@@ -27,63 +43,145 @@ from . import ntt as _ntt
 from .ntt import NttPlan
 from .params import NttParams
 
-_KERNEL_OK = lambda p: (
-    p.width <= 24 and p.n % 128 == 0 and 256 <= p.n <= 16384
+#: operations the dispatch layer routes (mirrors the public entry points)
+OPS = (
+    "nwc",        # negacyclic poly-mult, natural order in/out
+    "cyclic",     # INTT(NTT . NTT), the RTL top-level semantics
+    "fwd",        # cyclic forward NTT
+    "inv",        # cyclic inverse NTT (consumes fwd's layout)
+    "nwc_fwd",    # psi-twist + forward NTT (the benchmarked forward)
+    "spectrum",   # cacheable NWC operand spectrum
+    "cached",     # product against a cached spectrum
 )
+
+_KERNEL_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 16384
 
 
 def _split_u64(x):
-    x = np.asarray(x)
-    if x.dtype == np.uint64:
+    if isinstance(x, (tuple, list)):  # already a (hi, lo) pair
+        return tuple(x)
+    if getattr(x, "dtype", None) == np.uint64:
+        x = np.asarray(x)
         return ((x >> np.uint64(32)).astype(np.uint32),
                 (x & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     return x
 
 
+def _wrap(fn, nargs, split):
+    """jit fn; optionally auto-split uint64 inputs into (hi, lo) pairs."""
+    jitted = jax.jit(fn)
+    if not split:
+        return jitted
+    if nargs == 1:
+        return lambda a: jitted(_split_u64(a))
+    return lambda a, b: jitted(_split_u64(a), _split_u64(b))
+
+
 @functools.lru_cache(maxsize=None)
-def _impl(p: NttParams):
-    if _KERNEL_OK(p):
+def _backend(p: NttParams):
+    """(name, {op: callable}) — the single policy table."""
+    if _KERNEL_N_OK(p) and p.width <= 24:
         from .kernels.mxu import MxuPlan
 
         mp = MxuPlan(p)
         # Pallas compiles only on TPU; on CPU backends fall back to the
         # interpreter so the dispatch layer works everywhere.
         interp = jax.devices()[0].platform != "tpu"
-        return (
-            jax.jit(lambda a, b: mp.nwc_poly_mult(a, b, interpret=interp)),
-            "pallas-mxu",
-        )
-    plan = NttPlan(p)
-    if plan.ring.nlimbs == 1:
-        return (
-            jax.jit(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b)),
-            "xla-merged",
-        )
-    if p.width <= 62 and p.n % 128 == 0 and 256 <= p.n <= 16384:
-        # VMEM-resident double-word kernel: unlike the XLA path it stays
-        # flat in throughput as batch grows (the XLA path goes HBM-bound)
+        ops = {
+            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, False),
+            "cyclic": _wrap(
+                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, False
+            ),
+            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, False),
+            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, False),
+            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, False),
+            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, False),
+            "cached": _wrap(
+                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, False
+            ),
+        }
+        return "pallas-mxu", ops
+
+    if _KERNEL_N_OK(p) and p.width <= 62 and p.width > 24:
         from .kernels.mxu64 import MxuPlan64
 
         mp = MxuPlan64(p)
         interp = jax.devices()[0].platform != "tpu"
-        jitted = jax.jit(lambda a, b: mp.nwc_poly_mult(a, b, interpret=interp))
-        return (
-            lambda a, b: jitted(_split_u64(a), _split_u64(b)),
-            "pallas-mxu64",
-        )
+        ops = {
+            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, True),
+            "cyclic": _wrap(
+                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, True
+            ),
+            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, True),
+            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, True),
+            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, True),
+            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, True),
+            "cached": _wrap(
+                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
+            ),
+        }
+        return "pallas-mxu64", ops
 
-    def run(a, b):
-        return _ntt.nwc_poly_mult_merged(plan, a, b)
+    plan = NttPlan(p)
+    split = plan.ring.nlimbs == 2
+    name = "xla-merged-64" if split else "xla-merged"
 
-    jitted = jax.jit(run)
-    return (lambda a, b: jitted(_split_u64(a), _split_u64(b))), "xla-merged-64"
+    def cached(a, s):
+        fa = _ntt.nwc_fwd_merged(plan, a)
+        return _ntt.nwc_inv_merged(plan, plan.ring.mul(fa, s))
+
+    ops = {
+        "nwc": _wrap(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b), 2,
+                     split),
+        "cyclic": _wrap(lambda a, b: _ntt.cyclic_poly_mult(plan, a, b), 2,
+                        split),
+        "fwd": _wrap(lambda x: _ntt.ntt_fwd(plan, x), 1, split),
+        "inv": _wrap(lambda x: _ntt.ntt_inv(plan, x), 1, split),
+        "nwc_fwd": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
+        "spectrum": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
+        "cached": _wrap(cached, 2, split),
+    }
+    return name, ops
+
+
+def best(p: NttParams, op: str):
+    """Fastest implementation of ``op`` for this parameter set (jitted)."""
+    if op not in OPS:
+        raise ValueError(f"op must be one of {OPS}, got {op!r}")
+    return _backend(p)[1][op]
 
 
 def best_nwc_poly_mult(p: NttParams):
     """Fastest negacyclic poly-mult for this parameter set (jitted)."""
-    return _impl(p)[0]
+    return best(p, "nwc")
 
 
-def impl_name(p: NttParams) -> str:
-    """Which backend best_nwc_poly_mult selects (for logging/tests)."""
-    return _impl(p)[1]
+def best_cyclic_poly_mult(p: NttParams):
+    return best(p, "cyclic")
+
+
+def best_ntt_fwd(p: NttParams):
+    return best(p, "fwd")
+
+
+def best_ntt_inv(p: NttParams):
+    return best(p, "inv")
+
+
+def best_nwc_ntt_fwd(p: NttParams):
+    return best(p, "nwc_fwd")
+
+
+def best_nwc_spectrum(p: NttParams):
+    return best(p, "spectrum")
+
+
+def best_nwc_poly_mult_cached(p: NttParams):
+    return best(p, "cached")
+
+
+def impl_name(p: NttParams, op: str = "nwc") -> str:
+    """Which backend the policy selects (for logging/tests)."""
+    if op not in OPS:
+        raise ValueError(f"op must be one of {OPS}, got {op!r}")
+    return _backend(p)[0]

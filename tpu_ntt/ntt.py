@@ -90,6 +90,23 @@ class NttPlan:
             for h in (1 << s for s in range(self.log_n))
         ]
 
+        # No-gather CYCLIC stage tables (used by ntt_fwd_nogather /
+        # ntt_inv_nogather): DIF (Gentleman-Sande) forward twiddles
+        # w_{2h}^j = omega^(j*2^s) for the stage with half-size h = n>>(s+1),
+        # and DIT (Cooley-Tukey) inverse twiddles omega^(-j*2^s).  Unlike
+        # stage_tw these vary WITHIN a butterfly group (broadcast (1, h)),
+        # which keeps every stage a contiguous-halves reshape — no
+        # bit-reversal gather anywhere (the gather is what made the CG
+        # formulation 2.4x slower, docs/DESIGN.md §2.1).
+        self.dif_tw = [
+            enc_tw([pow(p.omega, j << s, q) for j in range(n >> (s + 1))])
+            for s in range(self.log_n)
+        ]
+        self.dit_tw_inv = [
+            enc_tw([pow(p.omega_inv, j << s, q) for j in range(n >> (s + 1))])
+            for s in range(self.log_n)
+        ]
+
     # -- host-side conversion ------------------------------------------------
     def encode(self, coeffs: Sequence[int] | np.ndarray):
         """Python ints / numpy -> ring element (host numpy limbs)."""
@@ -185,6 +202,67 @@ def nwc_ntt_fwd(plan: NttPlan, x: Elem) -> Elem:
     """Twist + forward NTT (the benchmarked 'forward NTT' of the reference
     CPU harness, software_benchmark/benchmark_ntt.cpp:207-211)."""
     return ntt_fwd(plan, twist(plan, x))
+
+
+# ---------------------------------------------------------------------------
+# No-gather cyclic transforms (DIF forward NO->BO, DIT inverse BO->NO)
+# ---------------------------------------------------------------------------
+#
+# The CG formulation above needs one bit-reversal gather per transform; the
+# Gentleman-Sande decimation-in-frequency network instead emits the spectrum
+# in bit-reversed order with every stage a contiguous-halves reshape — the
+# fastest measured cyclic formulation on TPU and the one the sharded
+# four-step path uses for its local transforms (the mid-twiddle table is
+# permuted by the bit-reversed row index instead; sharded.py).  Same
+# radix-2 butterfly algebra as the RTL network (rtl/ntt_butterfly.v,
+# rtl/ntt_butterfly_inverse.v — the GS form the reference unit-tests but
+# never instantiates is exactly this forward's butterfly).
+
+
+def ntt_fwd_nogather(plan: NttPlan, x: Elem) -> Elem:
+    """Cyclic forward NTT over the last axis: natural order in,
+    BIT-REVERSED order out (position j holds X[bitrev(j)])."""
+    ring = plan.ring
+    n = plan.n
+    for s in range(plan.log_n):
+        h = n >> (s + 1)  # half-size of each butterfly group
+        tw = _tmap(lambda t: jnp.asarray(t).reshape(1, h), plan.dif_tw[s])
+        g = _tmap(lambda a: _shape_stage(a, 1 << s), x)
+        u = _tmap(lambda a: a[..., 0, :], g)
+        v = _tmap(lambda a: a[..., 1, :], g)
+        hi = ring.add(u, v)
+        lo = ring.mul_tw(ring.sub(u, v), tw)
+        x = _tmap(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(
+                a.shape[:-2] + (n,)
+            ),
+            hi,
+            lo,
+        )
+    return x
+
+
+def ntt_inv_nogather(plan: NttPlan, x: Elem) -> Elem:
+    """Cyclic inverse NTT consuming bit-reversed input (the layout
+    ntt_fwd_nogather emits), natural order out, n^-1 scale applied."""
+    ring = plan.ring
+    n = plan.n
+    for s in range(plan.log_n - 1, -1, -1):
+        h = n >> (s + 1)
+        tw = _tmap(lambda t: jnp.asarray(t).reshape(1, h), plan.dit_tw_inv[s])
+        g = _tmap(lambda a: _shape_stage(a, 1 << s), x)
+        u = _tmap(lambda a: a[..., 0, :], g)
+        v = ring.mul_tw(_tmap(lambda a: a[..., 1, :], g), tw)
+        hi = ring.add(u, v)
+        lo = ring.sub(u, v)
+        x = _tmap(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(
+                a.shape[:-2] + (n,)
+            ),
+            hi,
+            lo,
+        )
+    return ring.mul_tw(x, _tmap(jnp.asarray, plan.n_inv_tw))
 
 
 # ---------------------------------------------------------------------------

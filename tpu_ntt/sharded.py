@@ -17,11 +17,12 @@ work, done the TPU way:
       3. all-to-all: reshard axis -1 -> axis -2     — one ICI/DCN collective
       4. length-n2 NTTs along axis -1 (rows)        — local
 
-  The true spectrum is X[k2*n1 + k1] = result[k1][k2]; we keep that
-  "four-step layout" implicit — pointwise multiply is layout-agnostic and the
-  inverse transform consumes the same layout — so a full negacyclic
-  polynomial product costs exactly two all-to-alls per forward/inverse pair
-  (4 total), each moving n/num_devices coefficients per device.
+  The transform-domain layout is implicit — pointwise multiply is
+  layout-agnostic and the inverse transform consumes the same layout — so a
+  full negacyclic polynomial product costs exactly two all-to-alls per
+  forward/inverse pair (4 total), each moving n/num_devices coefficients per
+  device.  (FourStepPlan.spectrum_indices gives the index map for users who
+  need natural spectrum order.)
 
 Derivation of the decomposition (with w = w_N, n = n1*n2,
 input index n1*n2dim + n2, output index k2*n1 + k1):
@@ -29,9 +30,16 @@ input index n1*n2dim + n2, output index k2*n1 + k1):
     X[k2*n1+k1] = sum_{n2} w^(n2*k1) * w_{n2dim}^(n2*k2)
                   * sum_{n1} M[n1][n2] * w_{n1dim}^(n1*k1)
 
-All local transforms reuse the single-chip constant-geometry network (ntt.py)
-with the sub-roots psi1 = psi^n2dim, psi2 = psi^n1dim (both are primitive
-2*n1- / 2*n2-th roots because psi^n = -1).
+Local sub-transforms use the no-gather DIF/DIT network
+(ntt.ntt_fwd_nogather / ntt_inv_nogather — the fastest measured single-chip
+formulation; the bit-reversed spectrum order it emits is absorbed into a
+build-time permutation of the mid twiddle table, so no data gather or
+permutation runs on device) with the sub-roots psi1 = psi^n2dim,
+psi2 = psi^n1dim (both primitive 2*n1- / 2*n2-th roots because psi^n = -1).
+
+The stage exchange is jax.lax.all_to_all by default; pass
+``ShardedNtt(..., fused_exchange=True)`` to route it through the Pallas RDMA
+all-to-all kernel instead (see _a2a_pallas_leaf).
 """
 
 from __future__ import annotations
@@ -43,6 +51,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import ntt as _ntt
@@ -152,6 +162,22 @@ class FourStepPlan:
         self.mid_tw = enc(fwd)
         self.mid_tw_inv = enc(inv)
 
+        # Bit-reversed-row variants: the production local transform is the
+        # no-gather DIF/DIT network (ntt.ntt_fwd_nogather), which emits the
+        # column spectrum with k1 bit-reversed — so the mid table rows are
+        # permuted by bitrev(n1) once at plan-build time instead of paying a
+        # data gather every transform (CLAUDE.md roadmap 2 / VERDICT.md
+        # missing #2: "merged/no-gather local transform (needs the
+        # bit-reversed-k1 table permutation)").
+        log_n1 = self.n1.bit_length() - 1
+        self.brv1 = np.array(
+            [int(f"{i:0{log_n1}b}"[::-1], 2) for i in range(self.n1)]
+            if log_n1 else [0],
+            dtype=np.int64,
+        )
+        self.mid_tw_br = enc(fwd[self.brv1])
+        self.mid_tw_inv_br = enc(inv[self.brv1])
+
         # Negacyclic twist tables psi^(n1*n2dim + n2) (natural layout) and
         # the scaled untwist psi^-(i) (n^-1 is already applied by the two
         # sub-INTTs, so the untwist table is the plain psi^-i).
@@ -166,6 +192,26 @@ class FourStepPlan:
                 untw[i1, i2] = b * pow(psi_inv, i2, q) % q
         self.twist_tw = enc(tw)
         self.untwist_tw = enc(untw)
+
+    # -- layout -------------------------------------------------------------
+    def spectrum_indices(self) -> np.ndarray:
+        """(n1, n2) int array: the NATURAL spectrum index held at transform-
+        domain position [j1, j2].
+
+        The four-step identity places X[k2*n1 + k1] at [k1, k2]; the
+        no-gather locals additionally bit-reverse both sub-indices, so
+        entry [j1, j2] holds X[brv_n2(j2)*n1 + brv_n1(j1)].  Pointwise
+        multiplication is layout-agnostic and the inverse consumes exactly
+        this layout, so a full product never materializes natural order
+        in the transform domain.
+        """
+        log_n2 = self.n2.bit_length() - 1
+        brv2 = np.array(
+            [int(f"{i:0{log_n2}b}"[::-1], 2) for i in range(self.n2)]
+            if log_n2 else [0],
+            dtype=np.int64,
+        )
+        return brv2[None, :] * self.n1 + self.brv1[:, None]
 
     # -- host-side helpers --------------------------------------------------
     def encode(self, coeffs) -> Elem:
@@ -199,21 +245,28 @@ def _along(axis_from_end: int, transform, x: Elem) -> Elem:
 
 def fourstep_fwd_local(fs: FourStepPlan, x: Elem, mid_tw=None) -> Elem:
     """Forward four-step on one device: (..., n1, n2) natural layout ->
-    (..., n1, n2) four-step layout (entry [k1, k2] holds X[k2*n1 + k1])."""
+    (..., n1, n2) transform-domain layout (see
+    FourStepPlan.spectrum_indices for the index map).
+
+    Local sub-transforms are the no-gather DIF network
+    (ntt.ntt_fwd_nogather); their bit-reversed output order is absorbed by
+    the row-permuted mid table (mid_tw_br) — zero data permutations."""
     ring = fs.ring
-    x = _along(2, lambda v: _ntt.ntt_fwd(fs.col_plan, v), x)
-    tw = _tmap(jnp.asarray, fs.mid_tw if mid_tw is None else mid_tw)
+    x = _along(2, lambda v: _ntt.ntt_fwd_nogather(fs.col_plan, v), x)
+    tw = _tmap(jnp.asarray, fs.mid_tw_br if mid_tw is None else mid_tw)
     x = ring.mul_tw(x, tw)
-    return _along(1, lambda v: _ntt.ntt_fwd(fs.row_plan, v), x)
+    return _along(1, lambda v: _ntt.ntt_fwd_nogather(fs.row_plan, v), x)
 
 
 def fourstep_inv_local(fs: FourStepPlan, x: Elem, mid_tw_inv=None) -> Elem:
     """Inverse of fourstep_fwd_local (back to natural layout)."""
     ring = fs.ring
-    x = _along(1, lambda v: _ntt.ntt_inv(fs.row_plan, v), x)
-    tw = _tmap(jnp.asarray, fs.mid_tw_inv if mid_tw_inv is None else mid_tw_inv)
+    x = _along(1, lambda v: _ntt.ntt_inv_nogather(fs.row_plan, v), x)
+    tw = _tmap(
+        jnp.asarray, fs.mid_tw_inv_br if mid_tw_inv is None else mid_tw_inv
+    )
     x = ring.mul_tw(x, tw)
-    return _along(2, lambda v: _ntt.ntt_inv(fs.col_plan, v), x)
+    return _along(2, lambda v: _ntt.ntt_inv_nogather(fs.col_plan, v), x)
 
 
 def fourstep_nwc_poly_mult_local(fs: FourStepPlan, a: Elem, b: Elem) -> Elem:
@@ -226,6 +279,125 @@ def fourstep_nwc_poly_mult_local(fs: FourStepPlan, a: Elem, b: Elem) -> Elem:
     fb = fourstep_fwd_local(fs, ring.mul_tw(b, tw))
     c = fourstep_inv_local(fs, ring.mul(fa, fb))
     return ring.mul_tw(c, untw)
+
+
+# ---------------------------------------------------------------------------
+# Fused stage exchange: Pallas RDMA all-to-all (flag-guarded)
+# ---------------------------------------------------------------------------
+#
+# TPU-native equivalent of the four-step stage-boundary exchange as ONE
+# Pallas kernel issuing direct chip-to-chip DMAs (pltpu.make_async_remote_copy
+# — the SNIPPETS.md:99-131 collective idiom; SURVEY.md §2.8/§5 names this as
+# the fused-communication variant of the XLA all_to_all).  Behind the
+# ``ShardedNtt(fused_exchange=True)`` flag because this 1-chip environment
+# cannot measure it against XLA's all_to_all on real ICI — correctness is
+# proven on the CPU mesh via Pallas TPU-interpret mode (which simulates
+# remote DMAs and semaphores); treat the performance choice as open until a
+# multi-chip run decides it.
+
+
+def _a2a_pallas_leaf(x, *, mesh_axes, exchange_axis, d, split_from_end,
+                     interpret):
+    """Tiled all-to-all of one uint32 leaf as a single RDMA kernel.
+
+    split_from_end=2: split rows (axis -2), concatenate columns (axis -1)
+    — the forward-transform exchange; split_from_end=1 is the inverse.
+    Equivalent to jax.lax.all_to_all(..., tiled=True) over
+    ``exchange_axis``; must be called inside shard_map.
+    """
+    shape = x.shape
+    rows, cols = shape[-2], shape[-1]
+    b = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    x3 = x.reshape(b, rows, cols)
+    if split_from_end == 2:
+        blk_r, blk_c = rows // d, cols
+        out_shape = (b, rows // d, cols * d)
+    else:
+        blk_r, blk_c = rows, cols // d
+        out_shape = (b, rows * d, cols // d)
+    if not interpret and (blk_c % 128 or blk_r % 8):
+        # Mosaic DMA slices must respect the (8, 128) uint32 tiling; every
+        # production shape (n1, n2 >= 1024 with <= 8-way sharding) is
+        # aligned — only toy shapes hit this.
+        raise ValueError(
+            f"fused exchange needs 128 | cols-per-block ({blk_c}) and "
+            f"8 | rows-per-block ({blk_r}) on hardware; use the XLA "
+            "all_to_all (fused_exchange=False) for this shape"
+        )
+
+    def kernel(x_ref, o_ref, send_sem, recv_sem):
+        # Coordinates of this device on every mesh axis; peers differ only
+        # on the exchange axis.
+        coords = {ax: jax.lax.axis_index(ax) for ax in mesh_axes}
+        me = coords[exchange_axis]
+        # axis_index values carry varying-manual-axes metadata; the
+        # interpret-mode evaluator needs constants promoted with pvary
+        # before multiplying, but Mosaic has no pvary lowering — on real
+        # hardware the plain constant works.
+        if interpret:
+            _c = lambda v: jax.lax.pvary(jnp.int32(v), (exchange_axis,))
+        else:
+            _c = jnp.int32
+        off_r = me * _c(blk_r)
+        off_c = me * _c(blk_c)
+
+        # Barrier: every peer signals every peer once, so no RDMA lands
+        # before all participants' kernels (and scratch semaphores) exist.
+        barrier = pltpu.get_barrier_semaphore()
+        for t in range(d):
+            peer = tuple(
+                t if ax == exchange_axis else coords[ax] for ax in mesh_axes
+            )
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=peer,
+                device_id_type=pltpu.DeviceIdType.MESH,
+            )
+        pltpu.semaphore_wait(barrier, d)
+
+        copies = []
+        for t in range(d):
+            peer = tuple(
+                t if ax == exchange_axis else coords[ax] for ax in mesh_axes
+            )
+            if split_from_end == 2:
+                src = x_ref.at[:, pl.ds(t * blk_r, blk_r), :]
+                dst = o_ref.at[:, :, pl.ds(off_c, blk_c)]
+            else:
+                src = x_ref.at[:, :, pl.ds(t * blk_c, blk_c)]
+                dst = o_ref.at[:, pl.ds(off_r, blk_r), :]
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=src, dst_ref=dst,
+                send_sem=send_sem, recv_sem=recv_sem,
+                device_id=peer, device_id_type=pltpu.DeviceIdType.MESH,
+            )
+            rdma.start()
+            copies.append(rdma)
+        # Uniform block sizes: each wait consumes exactly one copy's bytes,
+        # so d send-waits + d recv-waits drain all traffic regardless of
+        # arrival order.
+        for rdma in copies:
+            rdma.wait_send()
+        for rdma in copies:
+            rdma.wait_recv()
+
+    # Output varies over the same mesh axes as the input (shard_map
+    # check_vma needs the annotation on pallas outputs).
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype, vma=vma),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=0
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x3)
+    return out.reshape(shape[:-2] + out.shape[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +426,16 @@ class ShardedNtt:
         mesh: Mesh,
         coeff_axis: str = "coeff",
         batch_axis: str | None = None,
+        fused_exchange: bool = False,
     ):
         self.fs = fs
         self.mesh = mesh
         self.coeff_axis = coeff_axis
         self.batch_axis = batch_axis
+        #: route the stage exchange through the Pallas RDMA all-to-all
+        #: kernel instead of jax.lax.all_to_all (see _a2a_pallas_leaf for
+        #: why this is flag-guarded).
+        self.fused_exchange = fused_exchange
         self.d = mesh.shape[coeff_axis]
         if fs.n2 % self.d or fs.n1 % self.d:
             raise ValueError(
@@ -286,6 +463,19 @@ class ShardedNtt:
     # -- collective layout moves --------------------------------------------
     def _a2a(self, x: Elem, split_from_end: int, concat_from_end: int) -> Elem:
         ax = self.coeff_axis
+        if self.fused_exchange:
+            interp = jax.devices()[0].platform != "tpu"
+            return _tmap(
+                lambda a: _a2a_pallas_leaf(
+                    a,
+                    mesh_axes=tuple(self.mesh.axis_names),
+                    exchange_axis=ax,
+                    d=self.d,
+                    split_from_end=split_from_end,
+                    interpret=interp,
+                ),
+                x,
+            )
         return _tmap(
             lambda a: jax.lax.all_to_all(
                 a,
@@ -300,23 +490,25 @@ class ShardedNtt:
     # -- shard_map bodies ----------------------------------------------------
     def _fwd_body(self, x: Elem, mid_tw: Elem) -> Elem:
         fs, ring = self.fs, self.fs.ring
-        # 1. column NTTs (length n1) — local: axis -2 is unsharded.
-        x = _along(2, lambda v: _ntt.ntt_fwd(fs.col_plan, v), x)
+        # 1. column NTTs (length n1) — local: axis -2 is unsharded.  The
+        # no-gather DIF network emits bit-reversed k1; the mid table passed
+        # in is the row-permuted mid_tw_br, which absorbs that order.
+        x = _along(2, lambda v: _ntt.ntt_fwd_nogather(fs.col_plan, v), x)
         # 2+3. all-to-all to give each device full rows, then twiddle + row
-        # NTTs.  The mid twiddle w^(k1*n2) is passed sharded on n2 and must be
-        # applied *before* the reshard (it is indexed by global n2) — so apply
-        # it while n2 is still the sharded axis.
+        # NTTs.  The mid twiddle w^(brv(j1)*n2) is passed sharded on n2 and
+        # must be applied *before* the reshard (it is indexed by global n2)
+        # — so apply it while n2 is still the sharded axis.
         x = ring.mul_tw(x, mid_tw)
         x = self._a2a(x, split_from_end=2, concat_from_end=1)
         # 4. row NTTs (length n2) — local now.
-        return _along(1, lambda v: _ntt.ntt_fwd(fs.row_plan, v), x)
+        return _along(1, lambda v: _ntt.ntt_fwd_nogather(fs.row_plan, v), x)
 
     def _inv_body(self, x: Elem, mid_tw_inv: Elem) -> Elem:
         fs, ring = self.fs, self.fs.ring
-        x = _along(1, lambda v: _ntt.ntt_inv(fs.row_plan, v), x)
+        x = _along(1, lambda v: _ntt.ntt_inv_nogather(fs.row_plan, v), x)
         x = self._a2a(x, split_from_end=1, concat_from_end=2)
         x = ring.mul_tw(x, mid_tw_inv)
-        return _along(2, lambda v: _ntt.ntt_inv(fs.col_plan, v), x)
+        return _along(2, lambda v: _ntt.ntt_inv_nogather(fs.col_plan, v), x)
 
     def _shard_map(self, body, in_specs, out_specs):
         return jax.shard_map(
@@ -341,10 +533,10 @@ class ShardedNtt:
 
         if name == "fwd":
             fn = self._shard_map(self._fwd_body, (sn, ts), sf)
-            tables = (_tmap(jnp.asarray, fs.mid_tw),)
+            tables = (_tmap(jnp.asarray, fs.mid_tw_br),)
         elif name == "inv":
             fn = self._shard_map(self._inv_body, (sf, ts), sn)
-            tables = (_tmap(jnp.asarray, fs.mid_tw_inv),)
+            tables = (_tmap(jnp.asarray, fs.mid_tw_inv_br),)
         else:  # nwc
 
             def body(a, b, twist_tw, untwist_tw, mid, mid_inv):
@@ -358,7 +550,8 @@ class ShardedNtt:
             fn = self._shard_map(body, (sn, sn, ts, ts, ts, ts), sn)
             tables = tuple(
                 _tmap(jnp.asarray, t)
-                for t in (fs.twist_tw, fs.untwist_tw, fs.mid_tw, fs.mid_tw_inv)
+                for t in (fs.twist_tw, fs.untwist_tw, fs.mid_tw_br,
+                          fs.mid_tw_inv_br)
             )
         jfn = jax.jit(lambda *data: fn(*data, *tables))
         cache[key] = jfn
