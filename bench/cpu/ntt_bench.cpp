@@ -133,6 +133,113 @@ __attribute__((target("avx512f"))) static inline __m512i sub_mod_8(__m512i a,
   const __m512i d = _mm512_sub_epi64(a, b);
   return _mm512_mask_add_epi64(d, _mm512_cmplt_epu64_mask(a, b), d, qv);
 }
+// Elementwise a[i] = a[i] * b[i] mod q over a contiguous run.
+__attribute__((target("avx2"))) static void mulmod_arr_avx2(
+    u64* a, const u64* b, std::size_t n, u64 q, u64 mu, unsigned k) {
+  const __m256i qv = _mm256_set1_epi64x((long long)q);
+  const __m256i muv = _mm256_set1_epi64x((long long)mu);
+  const __m128i sl = _mm_cvtsi32_si128((int)k - 1);
+  const __m128i sh = _mm_cvtsi32_si128((int)k + 1);
+  std::size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    const __m256i av = _mm256_loadu_si256((const __m256i*)(a + i));
+    const __m256i bv = _mm256_loadu_si256((const __m256i*)(b + i));
+    _mm256_storeu_si256((__m256i*)(a + i),
+                        barrett_mul_4(av, bv, qv, muv, sl, sh));
+  }
+  for (; i < n; ++i) a[i] = (u128)a[i] * b[i] % q;
+}
+
+__attribute__((target("avx512f"))) static void mulmod_arr_avx512(
+    u64* a, const u64* b, std::size_t n, u64 q, u64 mu, unsigned k) {
+  const __m512i qv = _mm512_set1_epi64((long long)q);
+  const __m512i muv = _mm512_set1_epi64((long long)mu);
+  std::size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const __m512i av = _mm512_loadu_si512(a + i);
+    const __m512i bv = _mm512_loadu_si512(b + i);
+    _mm512_storeu_si512(a + i, barrett_mul_8(av, bv, qv, muv, k));
+  }
+  for (; i < n; ++i) a[i] = (u128)a[i] * b[i] % q;
+}
+
+// One butterfly row: (u, v) -> (u + w*v, u - w*v) over m lanes.
+__attribute__((target("avx2"))) static void butterflies_avx2(
+    u64* u, u64* v, const u64* tw, std::size_t m, u64 q, u64 mu, unsigned k) {
+  const __m256i qv = _mm256_set1_epi64x((long long)q);
+  const __m256i muv = _mm256_set1_epi64x((long long)mu);
+  const __m128i sl = _mm_cvtsi32_si128((int)k - 1);
+  const __m128i sh = _mm_cvtsi32_si128((int)k + 1);
+  for (std::size_t j = 0; j + 4 <= m; j += 4) {
+    const __m256i wv = _mm256_loadu_si256((const __m256i*)(tw + j));
+    const __m256i vv = _mm256_loadu_si256((const __m256i*)(v + j));
+    const __m256i uv = _mm256_loadu_si256((const __m256i*)(u + j));
+    const __m256i t = barrett_mul_4(wv, vv, qv, muv, sl, sh);
+    _mm256_storeu_si256((__m256i*)(u + j), add_mod_4(uv, t, qv));
+    _mm256_storeu_si256((__m256i*)(v + j), sub_mod_4(uv, t, qv));
+  }
+}
+
+__attribute__((target("avx512f"))) static void butterflies_avx512(
+    u64* u, u64* v, const u64* tw, std::size_t m, u64 q, u64 mu, unsigned k) {
+  const __m512i qv = _mm512_set1_epi64((long long)q);
+  const __m512i muv = _mm512_set1_epi64((long long)mu);
+  for (std::size_t j = 0; j + 8 <= m; j += 8) {
+    const __m512i wv = _mm512_loadu_si512(tw + j);
+    const __m512i vv = _mm512_loadu_si512(v + j);
+    const __m512i uv = _mm512_loadu_si512(u + j);
+    const __m512i t = barrett_mul_8(wv, vv, qv, muv, k);
+    _mm512_storeu_si512(u + j, add_mod_8(uv, t, qv));
+    _mm512_storeu_si512(v + j, sub_mod_8(uv, t, qv));
+  }
+}
+
+// Direct-path inner run: out[j] (+|-)= ai * b[j] mod q over a contiguous
+// run (the benchmark_simple AVX dot-kernel analog).
+__attribute__((target("avx2"))) static void direct_run_avx2(
+    u64 ai, const u64* b, u64* out, std::size_t len, bool add_into, u64 q,
+    u64 mu, unsigned k) {
+  const __m256i qv = _mm256_set1_epi64x((long long)q);
+  const __m256i muv = _mm256_set1_epi64x((long long)mu);
+  const __m256i aiv = _mm256_set1_epi64x((long long)ai);
+  const __m128i sl = _mm_cvtsi32_si128((int)k - 1);
+  const __m128i sh = _mm_cvtsi32_si128((int)k + 1);
+  std::size_t j = 0;
+  for (; j + 4 <= len; j += 4) {
+    const __m256i bv = _mm256_loadu_si256((const __m256i*)(b + j));
+    const __m256i ov = _mm256_loadu_si256((const __m256i*)(out + j));
+    const __m256i t = barrett_mul_4(aiv, bv, qv, muv, sl, sh);
+    _mm256_storeu_si256((__m256i*)(out + j), add_into
+                                                 ? add_mod_4(ov, t, qv)
+                                                 : sub_mod_4(ov, t, qv));
+  }
+  for (; j < len; ++j) {
+    const u64 t = (u128)ai * b[j] % q;
+    out[j] = add_into ? (out[j] + t >= q ? out[j] + t - q : out[j] + t)
+                      : (out[j] >= t ? out[j] - t : out[j] + q - t);
+  }
+}
+
+__attribute__((target("avx512f"))) static void direct_run_avx512(
+    u64 ai, const u64* b, u64* out, std::size_t len, bool add_into, u64 q,
+    u64 mu, unsigned k) {
+  const __m512i qv = _mm512_set1_epi64((long long)q);
+  const __m512i muv = _mm512_set1_epi64((long long)mu);
+  const __m512i aiv = _mm512_set1_epi64((long long)ai);
+  std::size_t j = 0;
+  for (; j + 8 <= len; j += 8) {
+    const __m512i bv = _mm512_loadu_si512(b + j);
+    const __m512i ov = _mm512_loadu_si512(out + j);
+    const __m512i t = barrett_mul_8(aiv, bv, qv, muv, k);
+    _mm512_storeu_si512(out + j, add_into ? add_mod_8(ov, t, qv)
+                                          : sub_mod_8(ov, t, qv));
+  }
+  for (; j < len; ++j) {
+    const u64 t = (u128)ai * b[j] % q;
+    out[j] = add_into ? (out[j] + t >= q ? out[j] + t - q : out[j] + t)
+                      : (out[j] >= t ? out[j] - t : out[j] + q - t);
+  }
+}
 #endif  // NTT_BENCH_X86
 
 static u64 mulmod(u64 a, u64 b, u64 q) { return (u128)a * b % q; }
@@ -152,6 +259,13 @@ struct NttCtx {
   u64 q, psi, psi_inv, n_inv;
   std::size_t n;
   unsigned log_n;
+  // Barrett constants (k = bitlen(q), mu = floor(2^2k / q)) for the
+  // vectorized paths; SIMD applies only when q < 2^31 (wider moduli need
+  // 128-bit products — scalar, as in the reference's 60-bit binaries).
+  unsigned bk = 0;
+  u64 mu = 0;
+  Simd simd = Simd::kScalar;
+  bool simd_ok() const { return simd != Simd::kScalar && q < (1ull << 31); }
   // stage twiddle tables, bit-reverse permutation
   std::vector<u64> fwd_tw, inv_tw, psi_pow, psi_inv_pow;
   std::vector<std::uint32_t> bitrev;
@@ -169,6 +283,9 @@ struct NttCtx {
     }
     psi_inv = powmod(psi, q - 2, q);
     n_inv = powmod((u64)n, q - 2, q);
+    bk = 0;
+    while ((q >> bk) != 0) ++bk;
+    if (q < (1ull << 31)) mu = (u64)(((u128)1 << (2 * bk)) / q);
     u64 omega = mulmod(psi, psi, q);
     u64 omega_inv = powmod(omega, q - 2, q);
 
@@ -214,6 +331,16 @@ struct NttCtx {
     const std::vector<u64>& tw = inverse ? inv_tw : fwd_tw;
     for (std::size_t m = 1; m < n; m <<= 1) {
       for (std::size_t k = 0; k < n; k += 2 * m) {
+#if NTT_BENCH_X86
+        if (simd_ok() && simd == Simd::kAvx512 && m >= 8) {
+          butterflies_avx512(&x[k], &x[k + m], &tw[m], m, q, mu, bk);
+          continue;
+        }
+        if (simd_ok() && m >= 4) {
+          butterflies_avx2(&x[k], &x[k + m], &tw[m], m, q, mu, bk);
+          continue;
+        }
+#endif
         for (std::size_t j = 0; j < m; ++j) {
           u64 t = mulmod(tw[m + j], x[k + j + m], q);
           u64 u = x[k + j];
@@ -222,12 +349,27 @@ struct NttCtx {
         }
       }
     }
-    if (inverse)
-      for (auto& v : x) v = mulmod(v, n_inv, q);
+    if (inverse) scale_all(x, n_inv);
   }
 
   void twist(std::vector<u64>& x, const std::vector<u64>& pw) const {
-    for (std::size_t i = 0; i < n; ++i) x[i] = mulmod(x[i], pw[i], q);
+    mulmod_arr(x.data(), pw.data(), n);
+  }
+
+  void scale_all(std::vector<u64>& x, u64 c) const {
+    std::vector<u64> cs(n, c);
+    mulmod_arr(x.data(), cs.data(), n);
+  }
+
+  // a[i] = a[i] * b[i] mod q, SIMD-dispatched.
+  void mulmod_arr(u64* a, const u64* b, std::size_t len) const {
+#if NTT_BENCH_X86
+    if (simd_ok()) {
+      if (simd == Simd::kAvx512) return mulmod_arr_avx512(a, b, len, q, mu, bk);
+      return mulmod_arr_avx2(a, b, len, q, mu, bk);
+    }
+#endif
+    for (std::size_t i = 0; i < len; ++i) a[i] = mulmod(a[i], b[i], q);
   }
 
   // Negacyclic product via psi-twist + cyclic transform.
@@ -236,7 +378,7 @@ struct NttCtx {
     twist(b, psi_pow);
     ntt(a, false);
     ntt(b, false);
-    for (std::size_t i = 0; i < n; ++i) a[i] = mulmod(a[i], b[i], q);
+    mulmod_arr(a.data(), b.data(), n);
     ntt(a, true);
     twist(a, psi_inv_pow);
     return a;
@@ -244,9 +386,20 @@ struct NttCtx {
 
   std::vector<u64> direct_nwc(const std::vector<u64>& a,
                               const std::vector<u64>& b) const {
+    // Row i contributes two CONTIGUOUS runs (the wrap splits the j loop at
+    // n - i), so the inner products vectorize like the reference's
+    // benchmark_simple AVX dot kernels.
     std::vector<u64> out(n, 0);
     for (std::size_t i = 0; i < n; ++i) {
       if (!a[i]) continue;
+#if NTT_BENCH_X86
+      if (simd_ok()) {
+        auto run = simd == Simd::kAvx512 ? direct_run_avx512 : direct_run_avx2;
+        run(a[i], b.data(), out.data() + i, n - i, true, q, mu, bk);
+        if (i) run(a[i], b.data() + (n - i), out.data(), i, false, q, mu, bk);
+        continue;
+      }
+#endif
       for (std::size_t j = 0; j < n; ++j) {
         u64 t = mulmod(a[i], b[j], q);
         std::size_t k = i + j;
@@ -299,6 +452,7 @@ int main(int argc, char** argv) {
   u64 q = 8380417, psi = 283817;
   int reps = 100;
   bool check = false, direct = false;
+  Simd simd_req = detect_simd();
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> const char* {
@@ -312,6 +466,21 @@ int main(int argc, char** argv) {
     else if (a == "--q") q = std::strtoull(next(), nullptr, 0);
     else if (a == "--psi") psi = std::strtoull(next(), nullptr, 0);
     else if (a == "--reps") reps = std::atoi(next());
+    else if (a == "--simd") {
+      std::string v = next();
+      if (v == "scalar") simd_req = Simd::kScalar;
+      else if (v == "avx2") simd_req = Simd::kAvx2;
+      else if (v == "avx512") simd_req = Simd::kAvx512;
+      else if (v == "auto") simd_req = detect_simd();
+      else {
+        std::fprintf(stderr, "unknown --simd %s\n", v.c_str());
+        return 2;
+      }
+      if (simd_req != Simd::kScalar && static_cast<int>(detect_simd()) < static_cast<int>(simd_req)) {
+        std::fprintf(stderr, "--simd %s unsupported on this CPU\n", v.c_str());
+        return 2;
+      }
+    }
     else if (a == "--check") check = true;
     else if (a == "--direct") direct = true;
     else if (a == "--preset") {
@@ -325,12 +494,17 @@ int main(int argc, char** argv) {
       }
     } else {
       std::fprintf(stderr, "usage: %s [--preset NAME | --n N --q Q --psi PSI]"
-                           " [--reps R] [--check] [--direct]\n", argv[0]);
+                           " [--reps R] [--check] [--direct]"
+                           " [--simd scalar|avx2|avx512|auto]\n", argv[0]);
       return 2;
     }
   }
 
   NttCtx ctx(n, q, psi);
+  ctx.simd = simd_req;
+  std::printf("simd %s\n", simd_name(ctx.simd_ok() || simd_req == Simd::kScalar
+                                          ? simd_req
+                                          : Simd::kScalar));
   auto a = make_poly(n, q, 1), b = make_poly(n, q, 2);
 
   using clk = std::chrono::steady_clock;

@@ -138,3 +138,78 @@ def test_native_fast_60bit_full_size(rng):
     got = native.nwc_fast(a, b, p.q, p.psi)
     want = reference.nwc_poly_mult(a, b, p)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CPU benchmark binary: SIMD variants (reference: the 12 BENCH_SIMD_KIND
+# targets, software_benchmark/CMakeLists.txt:31-60)
+# ---------------------------------------------------------------------------
+
+import shutil
+import subprocess
+
+BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "bench", "cpu")
+
+
+def _build_bench():
+    if shutil.which("g++") is None:
+        return None
+    exe = os.path.join(BENCH_DIR, "ntt_bench")
+    r = subprocess.run(["make", "-s"], cwd=BENCH_DIR, capture_output=True)
+    if r.returncode or not os.path.exists(exe):
+        return None
+    return exe
+
+
+@pytest.mark.parametrize("simd", ["scalar", "avx2", "avx512"])
+def test_bench_simd_kinds_check(simd):
+    """Every SIMD kind builds into the one binary, passes --check against
+    the O(n^2) oracle, and produces the same checksum."""
+    exe = _build_bench()
+    if exe is None:
+        pytest.skip("no g++ / build failed")
+    r = subprocess.run(
+        [exe, "--preset", "p24_1024", "--simd", simd, "--reps", "3",
+         "--check"],
+        capture_output=True, text=True,
+    )
+    if r.returncode == 2 and "unsupported on this CPU" in r.stderr:
+        pytest.skip(f"{simd} not supported on this host")
+    assert r.returncode == 0, r.stderr
+    assert f"simd {simd}" in r.stdout
+    assert "check ok" in r.stdout
+
+
+def test_bench_simd_checksums_agree():
+    exe = _build_bench()
+    if exe is None:
+        pytest.skip("no g++ / build failed")
+    sums = {}
+    for simd in ("scalar", "avx2", "avx512"):
+        r = subprocess.run(
+            [exe, "--preset", "dilithium_256", "--simd", simd, "--reps", "2"],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            continue  # unsupported kind on this host
+        for line in r.stdout.splitlines():
+            if line.startswith("checksum"):
+                sums[simd] = line.split()[1]
+    assert len(set(sums.values())) == 1 and "scalar" in sums
+
+
+def test_bench_60bit_simd_falls_back_scalar():
+    """q >= 2^31 cannot use the 32-bit-lane Barrett; the binary must report
+    (and use) scalar, mirroring the reference's scalar-only 60-bit SIMD
+    kinds (benchmark_ntt_60bit.cpp)."""
+    exe = _build_bench()
+    if exe is None:
+        pytest.skip("no g++ / build failed")
+    r = subprocess.run(
+        [exe, "--preset", "p60_4096", "--simd", "auto", "--reps", "2",
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "simd scalar" in r.stdout
+    assert "check ok" in r.stdout
