@@ -27,6 +27,12 @@ import jax
 
 from tpu_ntt import PRESETS, NttPlan, dispatch
 from tpu_ntt.benchlib import device_seconds_per_iter
+from tpu_ntt.params import make_params
+
+# beyond-reference size: n = 32768, 60-bit prime of 2-adicity 17 (the
+# multi-tile kernel path; the reference's largest shipped config is 4096)
+P60_32768 = make_params(32768, 576460752308273153, name="p60_32768")
+EXTRA = {"p60_32768": P60_32768}
 
 # Reference FPGA best for the full 4096-pt poly-mult (153.10 us @ 250 MHz).
 BASELINE_NWC4096_PER_SEC = 1e6 / 153.10
@@ -54,7 +60,7 @@ def bench_case(name, batch, iters, kind="nwc"):
     """Time one workload via the SINGLE dispatch policy (tpu_ntt.dispatch):
     the benchmark measures exactly what users get, with no second copy of
     the backend-selection table."""
-    p = PRESETS[name]
+    p = PRESETS.get(name) or EXTRA[name]
     plan = NttPlan(p)
     a = make_batch(plan, batch, 1)
     op = "nwc_fwd" if kind == "fwd" else "nwc"
@@ -97,6 +103,7 @@ def main():
                 bench_case(name, batch, iters, kind)
         for name in ("dilithium_256", "p24_1024"):
             bench_case(name, batch * 4, iters, "nwc")
+        bench_case("p60_32768", max(batch // 8, 32), iters, "nwc")
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)

@@ -25,6 +25,11 @@ def test_impl_selection():
     # every op routes to the same backend for a given params
     for op in dispatch.OPS:
         assert dispatch.impl_name(DILITHIUM_256, op) == "pallas-mxu"
+    # beyond the single-word kernel's 16384 cap, the multi-tile
+    # double-word kernel takes over (any width <= 62, incl. 24-bit q)
+    assert dispatch.impl_name(make_params(32768, 16580609)) == "pallas-mxu64"
+    assert (dispatch.impl_name(make_params(32768, 576460752308273153))
+            == "pallas-mxu64")
 
 
 def test_unknown_op_rejected():

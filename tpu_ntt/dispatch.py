@@ -14,9 +14,10 @@ Selection policy (measured on TPU v5e; CLAUDE.md performance ledger and
 docs/DESIGN.md §2):
   * q < 2^24, 256 <= n <= 16384, n % 128 == 0  ->  fused int8-MXU Pallas
     kernel (kernels/mxu.py), every operation.
-  * 2^24 <= q < 2^62 with the same n window     ->  double-word int8-MXU
+  * 2^24 <= q < 2^62 with 256 <= n <= 65536     ->  double-word int8-MXU
     kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
-    XLA path it stays flat in throughput as batch grows).
+    XLA path it stays flat in throughput as batch grows).  24-bit moduli
+    at 16384 < n <= 65536 also take this path (multi-tile left matmuls).
   * otherwise                                   ->  XLA merged-psi + Shoup
     (ntt.py), single- or double-word by q.
 
@@ -54,7 +55,10 @@ OPS = (
     "cached",     # product against a cached spectrum
 )
 
+#: n window for the single-word kernel (one (128,128) tile per group)
 _KERNEL_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 16384
+#: n window for the double-word kernel (multi-tile left matmuls above 16384)
+_KERNEL64_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 65536
 
 
 def _split_u64(x):
@@ -102,7 +106,12 @@ def _backend(p: NttParams):
         }
         return "pallas-mxu", ops
 
-    if _KERNEL_N_OK(p) and p.width <= 62 and p.width > 24:
+    if _KERNEL64_N_OK(p) and p.width <= 62 and not (
+        _KERNEL_N_OK(p) and p.width <= 24
+    ):
+        # q < 2^62 at any kernel-supported n — including 24-bit moduli at
+        # n > 16384, where the single-word kernel's one-tile group layout
+        # does not reach but the multi-tile double-word kernel does.
         from .kernels.mxu64 import MxuPlan64
 
         mp = MxuPlan64(p)

@@ -6,21 +6,23 @@ unsigned __int128 (software_benchmark/benchmark_ntt_60bit.cpp:20-24).  On the
 TPU there is no wide integer at all, so:
 
 * Ring elements are (hi, lo) uint32 pairs (modmath.Ring64 layout).
-* The four-step matmuls decompose both operands into EIGHT 8-bit limbs.
-  Limbs are offset by -128 into int8 and multiplied on the int8 MXU
-  pipeline (2x the bf16 rate, int32 accumulation, zero float casts).  The
-  exact unsigned total is recovered with the value-level zero-point
-  identity (K = 128 contraction length, S8 = sum_j 2^(8j), j < 8):
-
-      S[r,c] = D'[r,c] + 128*S8*cx[c] + 128*S8*rw[r] - 128^2*K*S8^2
-
-  where D' is the limb-diagonal-assembled int8 matmul part, cx[c] the
-  column sum of the full x values (computed in-kernel, one reduction per
-  step), and rw[r] the row sum of the full matrix entries (host-side).
-  The rw/constant parts — and the per-diagonal +2^25 offsets that keep
-  every assembled word unsigned — are folded into a precomputed 5-word
-  accumulator BASE, stored mod 2^160 (two's complement), so wrapping
-  uint32 arithmetic reproduces S exactly.
+* The four-step matmuls decompose both operands into EIGHT **balanced
+  signed** 8-bit digits: v = sum_j l_j * 2^(8j) with l_j in [-128, 127],
+  computed by a borrow-propagating digit scan.  For q < 2^62 the top byte
+  of every operand is < 64, so the scan never overflows the top digit and
+  the decomposition is EXACT — the int8 MXU pipeline (2x the bf16 rate,
+  int32 accumulation, zero float casts) then produces the TRUE limb
+  products directly, with **no zero-point correction at all**: no line
+  sums, no data-dependent accumulator, no per-row BASE tables.  (Round 1
+  used an offset-by-128 scheme whose value-level correction cost ~100 VPU
+  ops/element/step plus 1.25 MB of per-matrix BASE words in VMEM; the
+  balanced form deletes all of it.  The 24-bit kernel cannot use this
+  trick: a 24-bit operand can have top byte >= 128, which the 3-digit
+  balanced form cannot represent — mxu.py keeps the zero-point scheme.)
+  The only residual bookkeeping is the per-diagonal +2^25 offset that
+  keeps each assembled word unsigned, whose total is a data-INdependent
+  constant folded into the accumulator's initial words (mod 2^160,
+  two's complement, so wrapping uint32 arithmetic reproduces S exactly).
 * S < 128*q^2 < 2^131 reduces by three chained 32-bit Montgomery steps
   (REDC by 2^32 each), i.e. S * 2^-96 mod q (< 2^35 + q < 2q); transform
   matrices carry the matching w * 2^96 scale, making each matmul step
@@ -48,11 +50,8 @@ from ..params import NttParams
 U32 = jnp.uint32
 I32 = jnp.int32
 LANES = 128
-NLIMBS = 8  # 8-bit limbs covering q < 2^62 operands
+NLIMBS = 8  # 8-bit balanced digits covering q < 2^62 operands
 NWORDS = 5  # 32-bit accumulator words covering S < 2^160
-S8 = sum(1 << (8 * j) for j in range(NLIMBS))  # 0x0101..01 (8 bytes)
-KS = 128 * S8  # zero-point correction multiplier (64-bit constant)
-DIAG_OFF = 1 << 25  # per-diagonal offset making assembled diagonals unsigned
 NDIAGS = 2 * NLIMBS - 1
 
 
@@ -70,18 +69,40 @@ def _words160(v: int) -> list[int]:
     return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(NWORDS)]
 
 
+def _balanced_digits(v: int) -> list[int]:
+    """v -> NLIMBS signed digits in [-128, 127], exact for 0 <= v < 2^62.
+
+    Borrow scan from the LSB; the top byte of a < 2^62 value is < 64, so
+    the final carry is always absorbed (asserted)."""
+    out, c = [], 0
+    for j in range(NLIMBS):
+        t = ((v >> (8 * j)) & 0xFF) + c
+        if t >= 128:
+            out.append(t - 256)
+            c = 1
+        else:
+            out.append(t)
+            c = 0
+    assert c == 0, f"value {v} too wide for balanced digits"
+    return out
+
+
 class MxuPlan64:
     """Host-side constants for the double-word int8-MXU kernels.
 
-    Requires q < 2^62 and n in [256, 16384] with 128 | n.  (For q < 2^25
-    the single-word MxuPlan is faster.)
+    Requires q < 2^62 and n in [256, 65536] with 128 | n.  (For q < 2^24
+    the single-word MxuPlan is faster.)  For n > 16384 the length-n1
+    column transform spans multiple 128-row MXU tiles (n1 = n/128 > 128):
+    the left DFT matrix is dense (n1, n1) and each kernel group holds ONE
+    polynomial as an (n1, 128) block — the reference scales N purely by
+    parameterization (SURVEY.md §5), and so does this kernel.
     """
 
     def __init__(self, p: NttParams):
         if p.width > 62:
             raise ValueError("q must be < 2^62")
-        if p.n % LANES or not (2 * LANES <= p.n <= LANES * LANES):
-            raise ValueError(f"n={p.n} must be in [256, 16384] and divide 128")
+        if p.n % LANES or not (2 * LANES <= p.n <= 4 * LANES * LANES):
+            raise ValueError(f"n={p.n} must be in [256, 65536] and divide 128")
         self.p = p
         q = p.q
         self.q = q
@@ -95,7 +116,21 @@ class MxuPlan64:
         self.q_prime32 = self.q_prime64 & 0xFFFFFFFF
         self.n1 = p.n // LANES
         self.n2 = LANES
-        self.t = LANES // self.n1
+        #: rows per kernel group; one group = t polynomials (n1 <= 128) or
+        #: exactly one polynomial as an (n1, 128) block (n1 > 128).
+        self.rows = max(self.n1, LANES)
+        self.t = LANES // self.n1 if self.n1 <= LANES else 1
+        # Per-diagonal offset making every assembled diagonal unsigned:
+        # |diag| <= NLIMBS * rows * 128^2 (balanced digits in [-128, 127],
+        # contraction up to NLIMBS*rows terms for the left matmul).  The
+        # power of two >= that bound; its diag-weighted total is folded
+        # (negated, two's complement mod 2^160) into the accumulator's
+        # constant initial words — the only correction the balanced-digit
+        # matmul needs, and it is data-independent.
+        bound = NLIMBS * self.rows * 128 * 128
+        self.diag_off = 1 << (bound - 1).bit_length()
+        off_total = sum(self.diag_off << (8 * k) for k in range(NDIAGS))
+        self._const_words = _words160(-off_total)
         r64 = pow(2, 64, q)
         r32 = pow(2, 32, q)
         r96 = pow(2, 96, q)
@@ -116,44 +151,31 @@ class MxuPlan64:
             return m
 
         def block_diag(m: np.ndarray) -> np.ndarray:
+            if n1 >= LANES:  # dense multi-tile left matrix, one poly/group
+                return m
             out = np.zeros((LANES, LANES), dtype=object)
             for b in range(t):
                 out[b * n1 : (b + 1) * n1, b * n1 : (b + 1) * n1] = m
             return out
 
         def make_w(m: np.ndarray, left: bool):
-            """(stacked int8 limbs, BASE word stack) for one matrix.
+            """Stacked balanced-signed int8 digit matrix for one W.
 
-            Limbs are laid out in DESCENDING order along the contraction
+            Digits are laid out in DESCENDING order along the contraction
             axis (left: columns of a (128, 1024) matrix; right: rows of a
-            (1024, 128) one) so that every limb diagonal k of the product
+            (1024, 128) one) so that every digit diagonal k of the product
             is ONE matmul against a contiguous slice of the ascending
-            x-limb stack: as i runs up through the diagonal, j = k - i runs
-            down, matching block position 7 - j running up."""
-            limb_list = [
-                np.vectorize(lambda v: ((int(v) >> (8 * i)) & 0xFF) - 128)(
-                    m
-                ).astype(np.int8)
-                for i in range(NLIMBS)
-            ]
+            x-digit stack: as i runs up through the diagonal, j = k - i
+            runs down, matching block position 7 - j running up."""
+            digit_arrays = [np.empty(m.shape, dtype=np.int8)
+                            for _ in range(NLIMBS)]
+            for idx, v in np.ndenumerate(m):
+                for i, d in enumerate(_balanced_digits(int(v))):
+                    digit_arrays[i][idx] = d
             limbs = np.concatenate(
-                limb_list[::-1], axis=1 if left else 0
+                digit_arrays[::-1], axis=1 if left else 0
             )
-            # line sums of the full values along the contraction axis:
-            # left (W@X): rw[r] = sum_k W[r,k]; right (X@W): cw[c] = sum_k W[k,c]
-            sums = m.sum(axis=1 if left else 0)  # object ints, length 128
-            off_total = sum(DIAG_OFF << (8 * k) for k in range(NDIAGS))
-            const = -(128 * 128 * LANES * S8 * S8) - off_total
-            base_lines = [int(KS * int(s) + const) for s in sums]
-            words = np.zeros((NWORDS, LANES, LANES), dtype=np.uint32)
-            for idx, v in enumerate(base_lines):
-                ws = _words160(v)
-                for wi in range(NWORDS):
-                    if left:
-                        words[wi, idx, :] = ws[wi]
-                    else:
-                        words[wi, :, idx] = ws[wi]
-            return jnp.asarray(limbs), jnp.asarray(words)
+            return jnp.asarray(limbs)
 
         self.w1 = make_w(block_diag(dft_matrix(n1, w1, r96)), left=True)
         self.w2 = make_w(dft_matrix(n2, w2, r160), left=False)
@@ -249,78 +271,22 @@ class MxuPlan64:
     # ------------------------------------------------------------------
 
     def _to_limbs_i8(self, hi, lo):
+        """Balanced-signed digit scan of the (hi, lo) pair: 8 int8 digits
+        in [-128, 127] whose weighted sum is EXACTLY the operand (top byte
+        < 64 for q < 2^62, so the final borrow is always absorbed)."""
         out = []
+        c = jnp.zeros_like(lo)
         for i in range(NLIMBS):
             word = lo if i < 4 else hi
-            sh = 8 * (i % 4)
-            limb = ((word >> sh) & 0xFF).astype(I32) - 128
-            out.append(limb.astype(jnp.int8))
+            t = ((word >> (8 * (i % 4))) & 0xFF) + c  # in [0, 256]
+            # branch-free balanced digit: ((t + 128) & 0xFF) - 128, with
+            # borrow c = bit 8 of (t + 128)
+            biased = t + 128
+            out.append(
+                ((biased & 0xFF).astype(I32) - 128).astype(jnp.int8)
+            )
+            c = (biased >> 8) & 1
         return out
-
-    @staticmethod
-    def _wide_line_sum(hi, lo, axis: int):
-        """Exact sum of the 64-bit (hi, lo) values along one axis of a
-        (128, 128) block -> three uint32 words (value < 2^68).
-
-        uint32 sums would wrap, so each word is split into 16-bit halves
-        whose partial sums stay < 2^23.
-        """
-        m16 = U32(0xFFFF)
-
-        def split_sum(w):
-            # Mosaic lacks unsigned reductions: sum the halves as int32
-            # (partials < 2^23, exact) and view back as uint32.
-            lo16 = jnp.sum((w & m16).astype(I32), axis=axis, keepdims=True)
-            hi16 = jnp.sum((w >> 16).astype(I32), axis=axis, keepdims=True)
-            return lo16.astype(U32), hi16.astype(U32)  # each < 2^23
-
-        lo_l, lo_h = split_sum(lo)
-        hi_l, hi_h = split_sum(hi)
-        # value = lo_l + (lo_h << 16) + 2^32 * (hi_l + (hi_h << 16));
-        # the half-sums are < 2^23 so each shifted add can spill 7 bits
-        # plus one carry — track both explicitly.
-        w0 = lo_l + (lo_h << 16)
-        c = (w0 < lo_l).astype(U32)
-        spill0 = (lo_h >> 16) + c
-        w1 = hi_l + (hi_h << 16)
-        c1 = (w1 < hi_l).astype(U32)
-        w1b = w1 + spill0
-        c1b = (w1b < w1).astype(U32)
-        w2 = (hi_h >> 16) + c1 + c1b
-        return w0, w1b, w2
-
-    def _corr_words(self, hi, lo, axis: int):
-        """128*S8 * (line sum of x) as NWORDS uint32 words (broadcastable)."""
-        c0, c1, c2 = self._wide_line_sum(hi, lo, axis)
-        ks_lo = U32(KS & 0xFFFFFFFF)
-        ks_hi = U32(KS >> 32)
-        # (c2:c1:c0) * (ks_hi:ks_lo): 3x2 word product -> 5 words
-        words = [jnp.zeros_like(c0) for _ in range(NWORDS)]
-
-        def add_at(idx, h, l):
-            carry = jnp.zeros_like(l)
-            for wi, add in ((idx, l), (idx + 1, h)):
-                if wi >= NWORDS:
-                    break
-                s = words[wi] + add
-                c = (s < add).astype(U32)
-                s2 = s + carry
-                c2_ = (s2 < s).astype(U32)
-                words[wi] = s2
-                carry = c + c2_
-            wi = idx + 2
-            while wi < NWORDS:
-                s = words[wi] + carry
-                carry = (s < carry).astype(U32)
-                words[wi] = s
-                wi += 1
-
-        for ci, c in enumerate((c0, c1, c2)):
-            h1, l1 = mul32(c, jnp.broadcast_to(ks_lo, c.shape).astype(U32))
-            add_at(ci, h1, l1)
-            h2, l2 = mul32(c, jnp.broadcast_to(ks_hi, c.shape).astype(U32))
-            add_at(ci + 1, h2, l2)
-        return words
 
     def _redc96(self, words):
         """S * 2^-96 mod q for S held in NWORDS uint32 words (LSW first).
@@ -366,54 +332,47 @@ class MxuPlan64:
             t_lo = jnp.where(ge, new_lo, t_lo)
         return t_hi, t_lo
 
-    def _matmul_mont(self, x, w_set, left: bool):
-        """REDC128( W @ x ) or REDC128( x @ W ) on the int8 MXU path.
+    def _matmul_mont(self, x, w_desc, left: bool):
+        """REDC96( W @ x ) or REDC96( x @ W ) on the int8 MXU path.
 
-        One matmul per limb diagonal: the ascending x-limb stack is sliced
-        against the descending W-limb stack (see make_w), so the diagonal
-        sums come out of the MXU directly with zero vector adds.
+        One matmul per digit diagonal: the ascending x-digit stack is
+        sliced against the descending W-digit stack (see make_w), so the
+        diagonal sums come out of the MXU directly with zero vector adds.
+        Balanced digits make the diagonals the TRUE signed partial sums —
+        the accumulator just starts from the constant -(total diagonal
+        offset) and adds the offset diagonals.
         """
         hi, lo = x
-        w_desc, base = w_set
         xl = self._to_limbs_i8(hi, lo)
         xstack = jnp.concatenate(xl, axis=0 if left else 1)
+        # contraction unit: the summed length per digit block — the row
+        # count for a left (W @ x) product, 128 lanes for a right one.
+        unit = hi.shape[-2] if left else hi.shape[-1]
         diags: list = []
         for k in range(NDIAGS):
             i0, i1 = max(0, k - (NLIMBS - 1)), min(NLIMBS - 1, k)
             p0 = (NLIMBS - 1) - (k - i0)
-            kk = (i1 - i0 + 1) * LANES
+            kk = (i1 - i0 + 1) * unit
             if left:
                 prod = jnp.dot(
-                    w_desc[:, p0 * LANES : p0 * LANES + kk],
-                    xstack[i0 * LANES : i0 * LANES + kk, :],
+                    w_desc[:, p0 * unit : p0 * unit + kk],
+                    xstack[i0 * unit : i0 * unit + kk, :],
                     preferred_element_type=I32,
                 )
             else:
                 prod = jnp.dot(
-                    xstack[:, i0 * LANES : i0 * LANES + kk],
-                    w_desc[p0 * LANES : p0 * LANES + kk, :],
+                    xstack[:, i0 * unit : i0 * unit + kk],
+                    w_desc[p0 * unit : p0 * unit + kk, :],
                     preferred_element_type=I32,
                 )
             diags.append(prod)
-        # offset diagonals into unsigned range: |diag| <= 8*128*128^2 < 2^25
-        diags = [(d + I32(DIAG_OFF)).astype(U32) for d in diags]
+        # offset diagonals into unsigned range (see diag_off derivation)
+        diags = [(d + I32(self.diag_off)).astype(U32) for d in diags]
 
-        # start from the precomputed BASE words (carry the W-line sums, the
-        # zero-point constant and the diagonal offsets, mod 2^160)
-        words = [base[wi] for wi in range(NWORDS)]
-
-        # add the data-dependent correction 128*S8*(line sum of x)
-        corr = self._corr_words(hi, lo, axis=0 if left else 1)
-        carry = jnp.zeros_like(lo)
-        new_words = []
-        for wi in range(NWORDS):
-            s = words[wi] + corr[wi]
-            c1 = (s < corr[wi]).astype(U32)
-            s2 = s + carry
-            c2 = (s2 < s).astype(U32)
-            new_words.append(s2)
-            carry = c1 + c2
-        words = new_words
+        # start from the constant words that cancel the offsets (mod 2^160)
+        words = [
+            jnp.full_like(lo, np.uint32(w)) for w in self._const_words
+        ]
 
         # add the assembled diagonals: group word-aligned fours into exact
         # 64-bit pairs, then ripple into the accumulator
@@ -451,7 +410,7 @@ class MxuPlan64:
 
     def _nwc_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
-        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
+        w1, w2, w1i, w2i,
         mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
         midi_slo, out_hi, out_lo,
     ):
@@ -461,10 +420,6 @@ class MxuPlan64:
         = Mont-64 NWC spectrum; pointwise; [W2i, 2^96] -> *mid_inv*
         psi^(-n2)*n^-1 -> [W1i*psi^(-128n1), 2^32] -> plain result.
         """
-        w1 = (w1_l, w1_b)
-        w2 = (w2_l, w2_b)
-        w1i = (w1i_l, w1i_b)
-        w2i = (w2i_l, w2i_b)
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         midi_w = (midi_hi[...], midi_lo[...])
@@ -487,12 +442,10 @@ class MxuPlan64:
 
     def _cyclic_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
-        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
+        w1, w2, w1i, w2i,
         mid_hi, mid_lo, midi_hi, midi_lo, ex_hi, ex_lo,
         out_hi, out_lo,
     ):
-        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
-        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
         mid = (mid_hi[...], mid_lo[...])
         midi = (midi_hi[...], midi_lo[...])
         ex = (ex_hi[...], ex_lo[...])
@@ -514,10 +467,9 @@ class MxuPlan64:
             out_lo[g] = r_lo
 
     def _fwd_kernel(
-        self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b, mid_hi, mid_lo,
+        self, x_hi, x_lo, w1, w2p, mid_hi, mid_lo,
         out_hi, out_lo,
     ):
-        w1, w2p = (w1_l, w1_b), (w2p_l, w2p_b)
         mid = (mid_hi[...], mid_lo[...])
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
@@ -527,10 +479,9 @@ class MxuPlan64:
             out_lo[g] = r_lo
 
     def _inv_kernel(
-        self, x_hi, x_lo, w1i_l, w1i_b, w2i_l, w2i_b, midi_hi, midi_lo,
+        self, x_hi, x_lo, w1i, w2i, midi_hi, midi_lo,
         ex_hi, ex_lo, out_hi, out_lo,
     ):
-        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
         midi = (midi_hi[...], midi_lo[...])
         ex = (ex_hi[...], ex_lo[...])
         for g in range(x_hi.shape[0]):
@@ -552,12 +503,11 @@ class MxuPlan64:
         return max(1, min(self.groups_per_step, groups))
 
     def _nwc_spec_kernel(
-        self, x_hi, x_lo, w1_l, w1_b, w2_l, w2_b,
+        self, x_hi, x_lo, w1, w2,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
     ):
         """Forward half of the fused NWC pipeline, output left in the
         Montgomery-64 domain — the cacheable operand spectrum."""
-        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         for g in range(x_hi.shape[0]):
@@ -569,14 +519,12 @@ class MxuPlan64:
 
     def _nwc_cached_kernel(
         self, a_hi, a_lo, s_hi, s_lo,
-        w1_l, w1_b, w2_l, w2_b, w1i_l, w1i_b, w2i_l, w2i_b,
+        w1, w2, w1i, w2i,
         mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
         midi_slo, out_hi, out_lo,
     ):
         """Product against a precomputed Montgomery-64 spectrum: one
         forward transform instead of two."""
-        w1, w2 = (w1_l, w1_b), (w2_l, w2_b)
-        w1i, w2i = (w1i_l, w1i_b), (w2i_l, w2i_b)
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         midi_w = (midi_hi[...], midi_lo[...])
@@ -593,14 +541,13 @@ class MxuPlan64:
             out_lo[g] = r_lo
 
     def _nwc_fwd_kernel(
-        self, x_hi, x_lo, w1_l, w1_b, w2p_l, w2p_b,
+        self, x_hi, x_lo, w1, w2p,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
     ):
         """Twist-folded forward: the reference's benchmarked forward_ntt
         (psi-twist + NTT, software_benchmark/benchmark_ntt.cpp:207-211) as
         2 matmul steps + 1 Shoup pass; plain in, plain NWC spectrum out
         (four-step layout)."""
-        w1, w2p = (w1_l, w1_b), (w2p_l, w2p_b)
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         for g in range(x_hi.shape[0]):
@@ -619,18 +566,20 @@ class MxuPlan64:
             hi = jnp.concatenate([hi, z], axis=0)
             lo = jnp.concatenate([lo, z], axis=0)
         g = (b + pad) // self.t
-        return hi.reshape(g, LANES, LANES), lo.reshape(g, LANES, LANES), b
+        return (hi.reshape(g, self.rows, LANES),
+                lo.reshape(g, self.rows, LANES), b)
 
     def _call(self, kernel, data, tables, interpret):
         """data: flat tuple of (G,128,128) arrays; returns (hi, lo)."""
         gps = self._eff_gps(data[0].shape[0] * self.t)
         g = data[0].shape[0]
         data_spec = pl.BlockSpec(
-            (gps, LANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (gps, self.rows, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
         def spec_for(t):
-            # full-array constant-index block (W stacks, BASE words, tables)
+            # full-array constant-index block (W digit stacks, tables)
             zeros = lambda *_: (0,) * t.ndim
             return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
 
@@ -639,8 +588,8 @@ class MxuPlan64:
             kernel,
             grid=(g // gps,),
             out_shape=(
-                jax.ShapeDtypeStruct((g, LANES, LANES), U32),
-                jax.ShapeDtypeStruct((g, LANES, LANES), U32),
+                jax.ShapeDtypeStruct((g, self.rows, LANES), U32),
+                jax.ShapeDtypeStruct((g, self.rows, LANES), U32),
             ),
             in_specs=in_specs,
             out_specs=(data_spec, data_spec),
@@ -662,7 +611,7 @@ class MxuPlan64:
             self._nwc_kernel,
             (ga_hi, ga_lo, gb_hi, gb_lo),
             (
-                *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+                self.w1_nwc, self.w2, self.w1i_nwc, self.w2i,
                 *self.mid_nwc, *self.mid_inv_nwc,
             ),
             interpret,
@@ -678,7 +627,7 @@ class MxuPlan64:
             self._cyclic_kernel,
             (ga_hi, ga_lo, gb_hi, gb_lo),
             (
-                *self.w1, *self.w2, *self.w1i, *self.w2i,
+                self.w1, self.w2, self.w1i, self.w2i,
                 *self.mid, *self.mid_inv, *self.exit_scale,
             ),
             interpret,
@@ -692,7 +641,7 @@ class MxuPlan64:
         out = self._call(
             self._fwd_kernel,
             (gx_hi, gx_lo),
-            (*self.w1, *self.w2_plain, *self.mid),
+            (self.w1, self.w2_plain, *self.mid),
             interpret,
         )
         return self._unflatten(out, bsz)
@@ -703,7 +652,7 @@ class MxuPlan64:
         out = self._call(
             self._inv_kernel,
             (gx_hi, gx_lo),
-            (*self.w1i, *self.w2i, *self.mid_inv, *self.exit_scale_m64),
+            (self.w1i, self.w2i, *self.mid_inv, *self.exit_scale_m64),
             interpret,
         )
         return self._unflatten(out, bsz)
@@ -715,7 +664,7 @@ class MxuPlan64:
         out = self._call(
             self._nwc_spec_kernel,
             (gx_hi, gx_lo),
-            (*self.w1_nwc, *self.w2, *self.mid_nwc),
+            (self.w1_nwc, self.w2, *self.mid_nwc),
             interpret,
         )
         return self._unflatten(out, bsz)
@@ -728,7 +677,7 @@ class MxuPlan64:
             self._nwc_cached_kernel,
             (ga_hi, ga_lo, gs_hi, gs_lo),
             (
-                *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+                self.w1_nwc, self.w2, self.w1i_nwc, self.w2i,
                 *self.mid_nwc, *self.mid_inv_nwc,
             ),
             interpret,
@@ -742,7 +691,7 @@ class MxuPlan64:
         out = self._call(
             self._nwc_fwd_kernel,
             (gx_hi, gx_lo),
-            (*self.w1_nwc, *self.w2_plain, *self.mid_nwc),
+            (self.w1_nwc, self.w2_plain, *self.mid_nwc),
             interpret,
         )
         return self._unflatten(out, bsz)
