@@ -37,3 +37,16 @@ def test_phase_report_smoke():
     for key in ("fwd", "pointwise", "inv", "total",
                 "poly_mults_per_sec", "butterflies_per_sec"):
         assert key in rep and rep[key] > 0
+
+
+def test_kernel_phase_report_smoke():
+    """Kernel-path phase report runs (interpret mode on CPU) and derives
+    consistent non-negative phases."""
+    from tpu_ntt import DILITHIUM_256
+    from tpu_ntt import profiling
+
+    rep = profiling.kernel_phase_report(DILITHIUM_256, batch=2, iters=(1, 2))
+    assert rep["impl"] == "pallas-mxu"
+    for key in ("fwd", "inv", "cached", "total", "pointwise_derived"):
+        assert rep[key] >= 0
+    assert rep["poly_mults_per_sec"] > 0

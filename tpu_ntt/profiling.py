@@ -109,6 +109,60 @@ def phase_report(p: NttParams, batch: int = 512,
     return out
 
 
+def kernel_phase_report(p: NttParams, batch: int = 512,
+                        iters=(4, 16)) -> Dict[str, float]:
+    """Per-phase device timing of the PRODUCTION Pallas kernel pipeline —
+    the measured analog of the reference's cycle-accounting table
+    (final-report.tex:1659-1691) for the path users actually run.
+
+    The fused kernel has no internal phase boundaries (that is the point
+    of fusing), so phases are derived from the cacheable-spectrum entry
+    points, all timed on device:
+
+        total   = nwc_poly_mult          ~ 2*fwd + pointwise + inverse
+        cached  = nwc_poly_mult_cached   ~   fwd + pointwise + inverse
+        fwd     = nwc_spectrum            (the forward half, directly)
+        inv     = ntt_inv                 (the inverse half, directly)
+
+    Derived: fwd_derived = total - cached (cross-check of fwd),
+    pointwise_derived = cached - fwd - inv.  Counters mirror phase_report.
+    """
+    from . import dispatch
+
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, p.q, size=(2, batch, p.n), dtype=np.uint64)
+
+    def enc(x):
+        if p.width <= 30:
+            return jax.device_put(x.astype(np.uint32))
+        return (
+            jax.device_put((x >> 32).astype(np.uint32)),
+            jax.device_put((x & 0xFFFFFFFF).astype(np.uint32)),
+        )
+
+    a, b = enc(v[0]), enc(v[1])
+    out: Dict[str, float] = {"impl": dispatch.impl_name(p)}  # type: ignore
+    out["fwd"] = device_seconds_per_iter(
+        dispatch.best(p, "spectrum"), a, iters=iters
+    )
+    out["inv"] = device_seconds_per_iter(
+        dispatch.best(p, "inv"), a, iters=iters
+    )
+    out["cached"] = device_seconds_per_iter(
+        dispatch.best(p, "cached"), a, b, iters=iters
+    )
+    out["total"] = device_seconds_per_iter(
+        dispatch.best(p, "nwc"), a, b, iters=iters
+    )
+    out["fwd_derived"] = out["total"] - out["cached"]
+    out["pointwise_derived"] = max(out["cached"] - out["fwd"] - out["inv"], 0.0)
+    counts = op_counts(p)
+    out["poly_mults_per_sec"] = batch / out["total"]
+    out["butterflies_per_sec"] = batch * counts.total_butterflies / out["total"]
+    out["modmuls_per_sec"] = batch * counts.total_modmuls / out["total"]
+    return out
+
+
 def main():
     import argparse
     import json
@@ -116,18 +170,23 @@ def main():
     ap = argparse.ArgumentParser(description="per-phase pipeline profile")
     ap.add_argument("--preset", default="p24_4096")
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--kernel", action="store_true",
+                    help="profile the production Pallas kernel path "
+                         "(default: the XLA merged path)")
     ap.add_argument("--trace-dir", help="also capture an xprof trace here")
     args = ap.parse_args()
     from .params import PRESETS
 
     p = PRESETS[args.preset]
+    report = kernel_phase_report if args.kernel else phase_report
     if args.trace_dir:
         with trace(args.trace_dir):
-            rep = phase_report(p, args.batch)
+            rep = report(p, args.batch)
     else:
-        rep = phase_report(p, args.batch)
-    print(json.dumps({k: (round(v, 6) if v > 1 else v) for k, v in rep.items()},
-                     indent=2))
+        rep = report(p, args.batch)
+    print(json.dumps(
+        {k: (round(v, 6) if isinstance(v, float) and v > 1 else v)
+         for k, v in rep.items()}, indent=2))
 
 
 if __name__ == "__main__":
