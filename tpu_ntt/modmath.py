@@ -434,6 +434,98 @@ class Ring64:
         return decode64(arr[0], arr[1])
 
 
+GOLDILOCKS_Q = (1 << 64) - (1 << 32) + 1
+
+
+def goldilocks_reduce128(w3: jnp.ndarray, w2: jnp.ndarray, w1: jnp.ndarray,
+                         w0: jnp.ndarray) -> Pair:
+    """Reduce a 128-bit value (four uint32 words, LSW last arg order
+    (w3, w2, w1, w0)) modulo the Goldilocks prime q = 2^64 - 2^32 + 1.
+
+    Uses 2^96 ≡ -1 and 2^64 ≡ 2^32 - 1 (mod q): with t = a*2^96 + b*2^64
+    + c (a = w3, b = w2, c = (w1, w0)),  t ≡ c - a + b*(2^32 - 1).
+    Constant shifts and uint32 limb arithmetic only — the same VPU budget
+    class as one Montgomery step, far cheaper than a generic 64-bit
+    Barrett; this is why the Goldilocks modulus gets a dedicated ring.
+    """
+    q_hi = U32((GOLDILOCKS_Q >> 32) & 0xFFFFFFFF)
+    q_lo = U32(GOLDILOCKS_Q & 0xFFFFFFFF)
+    qq = (jnp.broadcast_to(q_hi, w0.shape).astype(U32),
+          jnp.broadcast_to(q_lo, w0.shape).astype(U32))
+
+    # r = c - a  (a < 2^32 <= q: one conditional +q)
+    a64 = (jnp.zeros_like(w3), w3)
+    c = (w1, w0)
+    borrow = ~ge64(c, a64)
+    r = sub64(c, a64)
+    r = select64(borrow, add64(r, qq), r)
+
+    # s = b * (2^32 - 1) = (b << 32) - b  as an exact 64-bit value
+    s_lo = (jnp.zeros_like(w2) - w2)
+    s_hi = w2 - (w2 != 0).astype(U32)
+    s = (s_hi, s_lo)
+
+    # r + s may carry out of 64 bits; carry represents 2^64 ≡ 2^32 - 1.
+    t = add64(r, s)
+    carry = (t[0] < r[0]) | ((t[0] == r[0]) & (t[1] < r[1]))
+    wrap = (jnp.zeros_like(w0), U32(0xFFFFFFFF) & jnp.full_like(w0, 0))
+    # add (2^32 - 1) when carried: hi += 0, lo/hi via add64 of (0, 2^32-1)
+    fix = (jnp.zeros_like(w0), jnp.full_like(w0, 0xFFFFFFFF))
+    del wrap
+    t = select64(carry, add64(t, fix), t)
+    # adding 2^32-1 < q cannot carry again past 2^64 after the wrap
+    # (t_wrapped < 2q - 2^64 + 2^32 < 2^63); two conditional subtracts
+    for _ in range(2):
+        t = select64(ge64(t, qq), sub64(t, qq), t)
+    return t
+
+
+def goldilocks_mul(a: Pair, b: Pair) -> Pair:
+    """(a * b) mod the Goldilocks prime, exact for a, b in [0, q)."""
+    w3, w2, w1, w0 = mul64_full(a, b)
+    return goldilocks_reduce128(w3, w2, w1, w0)
+
+
+class GoldilocksRing(Ring64):
+    """Z_q for the Goldilocks prime q = 2^64 - 2^32 + 1 (width 64).
+
+    Ring64's generic paths assume q < 2^62 (headroom for 64-bit adds and
+    Shoup's 2q bound), so this ring overrides the arithmetic with the
+    special-form reduction; elements remain (hi, lo) uint32 pairs and the
+    XLA transform paths (ntt.py) work unchanged.  Widely used by
+    STARK/zk systems; requested as the round-2 breadth item
+    (VERDICT.md next #8).
+    """
+
+    def __init__(self, p: NttParams, reduction: Reduction | None = None):
+        if p.q != GOLDILOCKS_Q:
+            raise ValueError("GoldilocksRing requires q = 2^64 - 2^32 + 1")
+        self.p = p
+        self.q = p.q
+        self.reduction = Reduction.SIMPLE  # dedicated reduction, no mux
+
+    def add(self, a, b):
+        s = add64(a, b)
+        carried = (s[0] < a[0]) | ((s[0] == a[0]) & (s[1] < a[1]))
+        qq = const64(self.q, a[1])
+        over = carried | ge64(s, qq)
+        return select64(over, sub64(s, qq), s)
+
+    def sub(self, a, b):
+        d = sub64(a, b)
+        qq = const64(self.q, a[1])
+        return select64(ge64(a, b), d, add64(d, qq))
+
+    def mul(self, a, b):
+        return goldilocks_mul(a, b)
+
+    def mul_tw(self, a, tw):
+        return goldilocks_mul(a, tw)
+
+    def encode_tw(self, values: Sequence[int]):
+        return encode64(values)
+
+
 def make_ring(p: NttParams, reduction: Reduction | None = None):
     """Pick the natural ring for a parameter set (width <= 30 -> Ring32).
 
@@ -441,6 +533,13 @@ def make_ring(p: NttParams, reduction: Reduction | None = None):
     multiplies that dominate every transform (one widening multiply per
     modmul instead of Barrett's two / Montgomery's three).
     """
+    if p.q == GOLDILOCKS_Q:
+        return GoldilocksRing(p)
     if p.width <= 30:
         return Ring32(p, reduction or Reduction.SHOUP)
+    if p.width > 62:
+        raise ValueError(
+            f"{p.width}-bit modulus exceeds the 62-bit double-word ring; "
+            "use tpu_ntt.rns for wide moduli (or the Goldilocks prime)"
+        )
     return Ring64(p, reduction or Reduction.SHOUP)
