@@ -150,3 +150,34 @@ def test_n_32768_multi_tile(rng):
     ]
     want = native.nwc_fast(a, b, q, p.psi)
     assert got == want
+
+
+@pytest.mark.parametrize("carry_save", [True, False], ids=["cs", "words"])
+def test_accumulate_strategies_bit_identical(rng, carry_save):
+    """Both accumulate/reduce strategies (signed 16-bit carry-save digits
+    vs u32 words with explicit carries) are bit-exact vs the golden."""
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    mp.carry_save = carry_save
+    a = [[p.q - 1] * p.n]
+    b = [[rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.nwc_poly_mult(a[0], b[0], p)
+    assert [int(v) for v in got[0]] == want
+
+
+def test_non_lazy_window_61bit(rng):
+    """A 61-bit modulus outside the lazy-reduction window (q >= 2^61-2^40)
+    must disable laziness and still be bit-exact: every intermediate is
+    fully reduced, exercising the final=False -> strict path."""
+    q = 2305843009213687297  # 61-bit prime, 512 | q-1, within 2^40 of 2^61
+    p = make_params(256, q)
+    mp = MxuPlan64(p)
+    assert not mp.lazy
+    mp.groups_per_step = 1
+    a = [[q - 1] * p.n]
+    b = [[rng.randrange(q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.nwc_poly_mult(a[0], b[0], p)
+    assert [int(v) for v in got[0]] == want

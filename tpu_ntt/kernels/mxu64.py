@@ -131,6 +131,14 @@ class MxuPlan64:
         self.diag_off = 1 << (bound - 1).bit_length()
         off_total = sum(self.diag_off << (8 * k) for k in range(NDIAGS))
         self._const_words = _words160(-off_total)
+        #: Lazy-reduction window: intermediate values may stay in [0, 2q)
+        #: (the balanced-digit matmul only needs operands < 2^62 for digit
+        #: exactness, and every reducer here tolerates < 2q inputs:
+        #: REDC96 -> < S/2^96 + q < 2q, Shoup -> < 2q for any a < 2^64,
+        #: mont_mul64 -> < q for a, b < 2q when q < 2^61).  Only the final
+        #: reducer of each kernel fully normalizes to [0, q).  The margin
+        #: keeps 2q + S/2^96 clear of 2^62.
+        self.lazy = q < (1 << 61) - (1 << 40)
         r64 = pow(2, 64, q)
         r32 = pow(2, 32, q)
         r96 = pow(2, 96, q)
@@ -288,13 +296,16 @@ class MxuPlan64:
             c = (biased >> 8) & 1
         return out
 
-    def _redc96(self, words):
+    def _redc96(self, words, final: bool = True):
         """S * 2^-96 mod q for S held in NWORDS uint32 words (LSW first).
 
         Three chained Montgomery-32 steps; each clears the low word and
-        shifts down by 32 bits.  S < 2^131 gives a result < 2^35 + q < 2q,
-        so 2^96 (not 2^128) is the cheapest sufficient divisor — the
-        transform matrices carry the matching 2^96/2^160 scale factors.
+        shifts down by 32 bits.  S < 2^132 gives a result < S/2^96 + q
+        < 2q, so 2^96 (not 2^128) is the cheapest sufficient divisor —
+        the transform matrices carry the matching 2^96/2^160 scale
+        factors.  With ``final=False`` under the lazy window the two
+        conditional subtracts are skipped and the < 2q representative is
+        returned directly (see ``self.lazy``).
         """
         q_lo = U32(self.q_lo)
         q_hi = U32(self.q_hi)
@@ -323,7 +334,9 @@ class MxuPlan64:
             s4 = w[4] + c3
             w = [s1c, s2b, s3, s4, jnp.zeros_like(s4)]
         t_hi, t_lo = w[1], w[0]
-        for _ in range(2):  # conditional subtract q (margin: t < 2q + eps)
+        if not final and self.lazy:
+            return t_hi, t_lo  # < 2q: fed back into the digit scan as-is
+        for _ in range(2):  # conditional subtract q (margin: t < 3q)
             ge = (t_hi > q_hi) | ((t_hi == q_hi) & (t_lo >= q_lo))
             new_lo = t_lo - q_lo
             borrow = (t_lo < q_lo).astype(U32)
@@ -332,15 +345,77 @@ class MxuPlan64:
             t_lo = jnp.where(ge, new_lo, t_lo)
         return t_hi, t_lo
 
-    def _matmul_mont(self, x, w_desc, left: bool):
+    #: Accumulate/reduce strategy: ``True`` keeps the 160-bit value in ten
+    #: SIGNED 16-bit digits held in i32 lanes (carry-save: no compare-based
+    #: carry ripples anywhere until one final propagation), ``False`` uses
+    #: the u32-words accumulator with explicit carry tracking.  Both are
+    #: bit-identical; carry-save trades ~equal op count for far shallower
+    #: dependency chains (the measured limit, DESIGN.md §2.5).
+    carry_save = True
+
+    def _cond_sub2(self, t_hi, t_lo):
+        """Two conditional subtracts: [0, 3q) -> [0, q)."""
+        q_lo = U32(self.q_lo)
+        q_hi = U32(self.q_hi)
+        for _ in range(2):
+            ge = (t_hi > q_hi) | ((t_hi == q_hi) & (t_lo >= q_lo))
+            new_lo = t_lo - q_lo
+            borrow = (t_lo < q_lo).astype(U32)
+            new_hi = t_hi - q_hi - borrow
+            t_hi = jnp.where(ge, new_hi, t_hi)
+            t_lo = jnp.where(ge, new_lo, t_lo)
+        return t_hi, t_lo
+
+    def _redc96_cs(self, d, final: bool):
+        """Digit-domain REDC96: S = Σ d[j]·2^16j (signed i32 digits) ->
+        S·2^-96 mod q, carry-save throughout.
+
+        Each Montgomery-32 step needs only S mod 2^32 exactly — a wrapping
+        u32 combine of the two low digits — then adds m·q as eight
+        independent 16-bit product halves (u32 products < 2^32 are
+        wrap-exact; their halves are nonnegative 16-bit values, safe in the
+        signed digit lanes), extracts the one exact carry into digit 2
+        (the low 32 bits are ≡ 0 mod 2^32 by construction, so the carry is
+        floor((d0>>16)+d1, 2^16)), and shifts down two digits.  No
+        compare-based carries at all; one 6-digit propagation at the end.
+        """
+        qp = U32(self.q_prime32)
+        qd = [U32((self.q >> (16 * j)) & 0xFFFF) for j in range(4)]
+        zero = jnp.zeros_like(d[0])
+        for _ in range(3):
+            w0 = d[0].astype(U32) + (d[1].astype(U32) << 16)
+            m = w0 * qp  # mod 2^32
+            for i, mi in enumerate(((m & 0xFFFF), (m >> 16))):
+                for j in range(4):
+                    prod = mi * qd[j]  # < 2^32: u32 wrap-exact
+                    d[i + j] = d[i + j] + (prod & 0xFFFF).astype(I32)
+                    d[i + j + 1] = d[i + j + 1] + (prod >> 16).astype(I32)
+            c = (d[0] >> 16) + d[1]
+            d[2] = d[2] + (c >> 16)
+            d = d[2:] + [zero, zero]
+        carry = zero
+        out = []
+        for j in range(6):  # result < 2q < 2^62: digits 4, 5 end zero
+            t = d[j] + carry
+            out.append((t & 0xFFFF).astype(U32))
+            carry = t >> 16
+        t_lo = out[0] | (out[1] << 16)
+        t_hi = out[2] | (out[3] << 16)
+        if not final and self.lazy:
+            return t_hi, t_lo
+        return self._cond_sub2(t_hi, t_lo)
+
+    def _matmul_mont(self, x, w_desc, left: bool, final: bool = True):
         """REDC96( W @ x ) or REDC96( x @ W ) on the int8 MXU path.
 
         One matmul per digit diagonal: the ascending x-digit stack is
         sliced against the descending W-digit stack (see make_w), so the
         diagonal sums come out of the MXU directly with zero vector adds.
         Balanced digits make the diagonals the TRUE signed partial sums —
-        the accumulator just starts from the constant -(total diagonal
-        offset) and adds the offset diagonals.
+        under ``carry_save`` they drop straight into signed 16-bit digit
+        lanes (split at odd byte offsets); otherwise the accumulator
+        starts from the constant -(total diagonal offset) and adds the
+        offset diagonals into u32 words.
         """
         hi, lo = x
         xl = self._to_limbs_i8(hi, lo)
@@ -366,6 +441,19 @@ class MxuPlan64:
                     preferred_element_type=I32,
                 )
             diags.append(prod)
+
+        if self.carry_save:
+            # signed 16-bit digit lanes; diag k sits at byte offset k:
+            # even k lands on digit k/2 whole, odd k splits 8/…-8
+            d = [jnp.zeros_like(diags[0]) for _ in range(2 * NWORDS)]
+            for k, diag in enumerate(diags):
+                if k % 2 == 0:
+                    d[k // 2] = d[k // 2] + diag
+                else:
+                    d[(k - 1) // 2] = d[(k - 1) // 2] + ((diag & 0xFF) << 8)
+                    d[(k + 1) // 2] = d[(k + 1) // 2] + (diag >> 8)
+            return self._redc96_cs(d, final)
+
         # offset diagonals into unsigned range (see diag_off derivation)
         diags = [(d + I32(self.diag_off)).astype(U32) for d in diags]
 
@@ -399,7 +487,7 @@ class MxuPlan64:
                 c2 = (s2 < s).astype(U32)
                 words[wi] = s2
                 carry = c1 + c2
-        return self._redc96(words)
+        return self._redc96(words, final=final)
 
     def _emul(self, x, table):
         return mont_mul64(x, table, self.q, self.q_prime64)
@@ -426,15 +514,15 @@ class MxuPlan64:
         midi_ws = (midi_shi[...], midi_slo[...])
 
         def fwd(x):
-            x = self._matmul_mont(x, w1, left=True)
+            x = self._matmul_mont(x, w1, left=True, final=False)
             x = shoup_mul64(x, mid_w, mid_ws, self.q)
-            return self._matmul_mont(x, w2, left=False)
+            return self._matmul_mont(x, w2, left=False, final=False)
 
         for g in range(a_hi.shape[0]):
             fa = fwd((a_hi[g], a_lo[g]))
             fb = fwd((b_hi[g], b_lo[g]))
             c = self._emul(fa, fb)  # variable*variable: Montgomery
-            c = self._matmul_mont(c, w2i, left=False)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
             c = shoup_mul64(c, midi_w, midi_ws, self.q)
             r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
             out_hi[g] = r_hi
@@ -451,17 +539,17 @@ class MxuPlan64:
         ex = (ex_hi[...], ex_lo[...])
 
         def fwd(x):  # plain in -> Montgomery-64 out (w2 carries 2^192)
-            x = self._matmul_mont(x, w1, left=True)
+            x = self._matmul_mont(x, w1, left=True, final=False)
             x = self._emul(x, mid)
-            return self._matmul_mont(x, w2, left=False)
+            return self._matmul_mont(x, w2, left=False, final=False)
 
         for g in range(a_hi.shape[0]):
             fa = fwd((a_hi[g], a_lo[g]))
             fb = fwd((b_hi[g], b_lo[g]))
             c = self._emul(fa, fb)
-            c = self._matmul_mont(c, w2i, left=False)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
             c = self._emul(c, midi)
-            c = self._matmul_mont(c, w1i, left=True)
+            c = self._matmul_mont(c, w1i, left=True, final=False)
             r_hi, r_lo = self._emul(c, ex)  # n^-1 + domain exit
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -472,7 +560,8 @@ class MxuPlan64:
     ):
         mid = (mid_hi[...], mid_lo[...])
         for g in range(x_hi.shape[0]):
-            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
+                                  final=False)
             x = self._emul(x, mid)
             r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
             out_hi[g] = r_hi
@@ -485,9 +574,10 @@ class MxuPlan64:
         midi = (midi_hi[...], midi_lo[...])
         ex = (ex_hi[...], ex_lo[...])
         for g in range(x_hi.shape[0]):
-            x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False)
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False,
+                                  final=False)
             x = self._emul(x, midi)
-            x = self._matmul_mont(x, w1i, left=True)
+            x = self._matmul_mont(x, w1i, left=True, final=False)
             r_hi, r_lo = self._emul(x, ex)  # n^-1 (m64)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -511,7 +601,8 @@ class MxuPlan64:
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         for g in range(x_hi.shape[0]):
-            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
+                                  final=False)
             x = shoup_mul64(x, mid_w, mid_ws, self.q)
             r_hi, r_lo = self._matmul_mont(x, w2, left=False)
             out_hi[g] = r_hi
@@ -530,11 +621,12 @@ class MxuPlan64:
         midi_w = (midi_hi[...], midi_lo[...])
         midi_ws = (midi_shi[...], midi_slo[...])
         for g in range(a_hi.shape[0]):
-            x = self._matmul_mont((a_hi[g], a_lo[g]), w1, left=True)
+            x = self._matmul_mont((a_hi[g], a_lo[g]), w1, left=True,
+                                  final=False)
             x = shoup_mul64(x, mid_w, mid_ws, self.q)
-            fa = self._matmul_mont(x, w2, left=False)
+            fa = self._matmul_mont(x, w2, left=False, final=False)
             c = self._emul(fa, (s_hi[g], s_lo[g]))
-            c = self._matmul_mont(c, w2i, left=False)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
             c = shoup_mul64(c, midi_w, midi_ws, self.q)
             r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
             out_hi[g] = r_hi
@@ -551,7 +643,8 @@ class MxuPlan64:
         mid_w = (mid_hi[...], mid_lo[...])
         mid_ws = (mid_shi[...], mid_slo[...])
         for g in range(x_hi.shape[0]):
-            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True)
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
+                                  final=False)
             x = shoup_mul64(x, mid_w, mid_ws, self.q)
             r_hi, r_lo = self._matmul_mont(x, w2p, left=False)
             out_hi[g] = r_hi
