@@ -239,24 +239,6 @@ class MxuPlan64:
 
         omega, omega_inv = p.omega, p.omega_inv
         psi, psi_inv = p.psi, p.psi_inv
-        # Montgomery-64-encoded twiddles: mont_mul64(x, t*2^64) = x*t.
-        self.mid = tiled_pair(lambda k1, m2: pow(omega, k1 * m2, q) * r64 % q)
-        self.mid_inv = tiled_pair(
-            lambda k1, m2: pow(omega_inv, k1 * m2, q) * r64 % q
-        )
-        # twist: x (plain) -> x * psi^i (plain); the forward right-matmul
-        # then enters the Montgomery-64 domain.
-        self.twist = tiled_pair(
-            lambda i1, i2: pow(psi, i1 * n2 + i2, q) * r64 % q
-        )
-        # untwist consumes Montgomery-64 spectra and exits: plain table.
-        self.untwist = tiled_pair(
-            lambda i1, i2: pow(psi_inv, i1 * n2 + i2, q) * p.n_inv % q
-        )
-        # cyclic-mode exit (n^-1, plain: consumes Montgomery-64 and exits)
-        self.exit_scale = tiled_pair(lambda i1, i2: p.n_inv % q)
-        # standalone-inverse exit (n^-1 * 2^64: plain in, plain out)
-        self.exit_scale_m64 = tiled_pair(lambda i1, i2: p.n_inv * r64 % q)
         # NWC-folded mid tables (psi^(n2) split of the twist; see w1_nwc).
         # Shoup-encoded: (w, floor(w*2^64/q)) with PLAIN twiddles — the
         # Shoup product x*t mod q preserves whatever domain x is in and
@@ -273,6 +255,22 @@ class MxuPlan64:
             lambda k1, m2: pow(omega_inv, k1 * m2, q)
             * pow(psi_inv, m2, q) % q * p.n_inv % q
         )
+        # Cyclic / standalone mids, Shoup-encoded (a Shoup product is a
+        # PLAIN constant multiply, so it preserves the value's domain and
+        # needs one widening multiply vs Montgomery's three).  n^-1 folds
+        # into the inverse mid (the reference's SCALE phase,
+        # rtl/ntt_inverse.v semantics, costs zero extra passes here), so
+        # the standalone-inverse and cyclic exits drop their whole
+        # elementwise exit multiply.
+        self.mid_shoup = shoup_pair(lambda k1, m2: pow(omega, k1 * m2, q))
+        self.mid_inv_fold = shoup_pair(
+            lambda k1, m2: pow(omega_inv, k1 * m2, q) * p.n_inv % q
+        )
+        # cyclic exit: the inverse left matrix at 2^32 scale strips the
+        # Montgomery-64 factor in its REDC96 (2^32/2^96 = 2^-64) — the
+        # domain exit rides the matmul for free.
+        self.w1i_exit = make_w(block_diag(dft_matrix(n1, w1i, r32)),
+                               left=True)
 
     # ------------------------------------------------------------------
     # In-kernel primitives ((hi, lo) pairs of (128, 128) uint32)
@@ -530,17 +528,19 @@ class MxuPlan64:
 
     def _cyclic_kernel(
         self, a_hi, a_lo, b_hi, b_lo,
-        w1, w2, w1i, w2i,
-        mid_hi, mid_lo, midi_hi, midi_lo, ex_hi, ex_lo,
+        w1, w2, w1i_exit, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo,
+        midi_hi, midi_lo, midi_shi, midi_slo,
         out_hi, out_lo,
     ):
-        mid = (mid_hi[...], mid_lo[...])
-        midi = (midi_hi[...], midi_lo[...])
-        ex = (ex_hi[...], ex_lo[...])
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
 
-        def fwd(x):  # plain in -> Montgomery-64 out (w2 carries 2^192)
+        def fwd(x):  # plain in -> Montgomery-64 out (w2 carries 2^160)
             x = self._matmul_mont(x, w1, left=True, final=False)
-            x = self._emul(x, mid)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
             return self._matmul_mont(x, w2, left=False, final=False)
 
         for g in range(a_hi.shape[0]):
@@ -548,37 +548,38 @@ class MxuPlan64:
             fb = fwd((b_hi[g], b_lo[g]))
             c = self._emul(fa, fb)
             c = self._matmul_mont(c, w2i, left=False, final=False)
-            c = self._emul(c, midi)
-            c = self._matmul_mont(c, w1i, left=True, final=False)
-            r_hi, r_lo = self._emul(c, ex)  # n^-1 + domain exit
+            c = shoup_mul64(c, midi_w, midi_ws, self.q)  # n^-1 folded
+            r_hi, r_lo = self._matmul_mont(c, w1i_exit, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
     def _fwd_kernel(
-        self, x_hi, x_lo, w1, w2p, mid_hi, mid_lo,
+        self, x_hi, x_lo, w1, w2p,
+        mid_hi, mid_lo, mid_shi, mid_slo,
         out_hi, out_lo,
     ):
-        mid = (mid_hi[...], mid_lo[...])
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
                                   final=False)
-            x = self._emul(x, mid)
+            x = shoup_mul64(x, mid_w, mid_ws, self.q)
             r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
     def _inv_kernel(
-        self, x_hi, x_lo, w1i, w2i, midi_hi, midi_lo,
-        ex_hi, ex_lo, out_hi, out_lo,
+        self, x_hi, x_lo, w1i, w2i,
+        midi_hi, midi_lo, midi_shi, midi_slo,
+        out_hi, out_lo,
     ):
-        midi = (midi_hi[...], midi_lo[...])
-        ex = (ex_hi[...], ex_lo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False,
                                   final=False)
-            x = self._emul(x, midi)
-            x = self._matmul_mont(x, w1i, left=True, final=False)
-            r_hi, r_lo = self._emul(x, ex)  # n^-1 (m64)
+            x = shoup_mul64(x, midi_w, midi_ws, self.q)  # n^-1 folded
+            r_hi, r_lo = self._matmul_mont(x, w1i, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
@@ -720,8 +721,8 @@ class MxuPlan64:
             self._cyclic_kernel,
             (ga_hi, ga_lo, gb_hi, gb_lo),
             (
-                self.w1, self.w2, self.w1i, self.w2i,
-                *self.mid, *self.mid_inv, *self.exit_scale,
+                self.w1, self.w2, self.w1i_exit, self.w2i,
+                *self.mid_shoup, *self.mid_inv_fold,
             ),
             interpret,
         )
@@ -734,7 +735,7 @@ class MxuPlan64:
         out = self._call(
             self._fwd_kernel,
             (gx_hi, gx_lo),
-            (self.w1, self.w2_plain, *self.mid),
+            (self.w1, self.w2_plain, *self.mid_shoup),
             interpret,
         )
         return self._unflatten(out, bsz)
@@ -745,7 +746,7 @@ class MxuPlan64:
         out = self._call(
             self._inv_kernel,
             (gx_hi, gx_lo),
-            (self.w1i, self.w2i, *self.mid_inv, *self.exit_scale_m64),
+            (self.w1i, self.w2i, *self.mid_inv_fold),
             interpret,
         )
         return self._unflatten(out, bsz)
