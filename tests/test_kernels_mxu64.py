@@ -167,6 +167,28 @@ def test_accumulate_strategies_bit_identical(rng, carry_save):
     assert [int(v) for v in got[0]] == want
 
 
+@pytest.mark.parametrize(
+    "prefix_scan,shoup_lazy",
+    [(True, True), (True, False), (False, False)],
+    ids=["sklansky-lazy", "sklansky-strict", "serial-strict"],
+)
+def test_scan_and_shoup_toggles_bit_identical(rng, prefix_scan, shoup_lazy):
+    """The digit-scan borrow chain (Sklansky prefix vs serial ripple) and
+    the Shoup final-subtract (strict vs lazy pass-through) are pure
+    scheduling choices — every combination must match the golden exactly
+    (defaults: serial + lazy, the hardware-measured winner)."""
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    mp.prefix_scan = prefix_scan
+    mp.shoup_lazy = shoup_lazy
+    a = [[p.q - 1] * p.n]
+    b = [[rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.nwc_poly_mult(a[0], b[0], p)
+    assert [int(v) for v in got[0]] == want
+
+
 def test_non_lazy_window_61bit(rng):
     """A 61-bit modulus outside the lazy-reduction window (q >= 2^61-2^40)
     must disable laziness and still be bit-exact: every intermediate is

@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..modmath import mont_mul64, mul32, shoup_mul64
+from ..modmath import mont_mul64, mul32, shoup_mul64, shoup_mul64_lazy
 from ..params import NttParams
 
 U32 = jnp.uint32
@@ -69,13 +69,15 @@ def _words160(v: int) -> list[int]:
     return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(NWORDS)]
 
 
-def _balanced_digits(v: int) -> list[int]:
-    """v -> NLIMBS signed digits in [-128, 127], exact for 0 <= v < 2^62.
+def _balanced_digits(v: int, nlimbs: int = NLIMBS) -> list[int]:
+    """v -> ``nlimbs`` signed digits in [-128, 127], exact for any v whose
+    borrow scan terminates within ``nlimbs`` digits (all v < 2^62 for 8
+    digits; all v < 2^64 for 9, where the 9th digit is the final borrow).
 
-    Borrow scan from the LSB; the top byte of a < 2^62 value is < 64, so
-    the final carry is always absorbed (asserted)."""
+    Borrow scan from the LSB; the final carry must be absorbed
+    (asserted)."""
     out, c = [], 0
-    for j in range(NLIMBS):
+    for j in range(nlimbs):
         t = ((v >> (8 * j)) & 0xFF) + c
         if t >= 128:
             out.append(t - 256)
@@ -83,7 +85,7 @@ def _balanced_digits(v: int) -> list[int]:
         else:
             out.append(t)
             c = 0
-    assert c == 0, f"value {v} too wide for balanced digits"
+    assert c == 0, f"value {v} too wide for {nlimbs} balanced digits"
     return out
 
 
@@ -98,14 +100,37 @@ class MxuPlan64:
     parameterization (SURVEY.md §5), and so does this kernel.
     """
 
-    def __init__(self, p: NttParams):
+    #: balanced 8-bit digits per operand; subclasses widen (9 covers any
+    #: v < 2^64, the Goldilocks operand range)
+    nlimbs = NLIMBS
+    #: signed 16-bit carry-save accumulator lanes (>= max diagonal byte
+    #: offset / 2 + headroom; the reducer may read more, zero-padded)
+    cs_lanes = 2 * NWORDS
+
+    def _check_width(self, p: NttParams) -> None:
         if p.width > 62:
             raise ValueError("q must be < 2^62")
+
+    def _domain_scales(self, q: int) -> tuple[int, int, int, int]:
+        """(r32, r64, r96, r160): the Montgomery powers carried by the
+        transform matrices so each REDC96-reduced matmul is domain-neutral.
+        Subclasses whose reducer divides by nothing (the Goldilocks
+        phi-fold) return all ones, making every table plain."""
+        return (pow(2, 32, q), pow(2, 64, q), pow(2, 96, q),
+                pow(2, 160, q))
+
+    def _lazy_window(self, q: int) -> bool:
+        """Whether intermediates may stay unnormalized (see ``lazy``)."""
+        return q < (1 << 61) - (1 << 40)
+
+    def __init__(self, p: NttParams):
+        self._check_width(p)
         if p.n % LANES or not (2 * LANES <= p.n <= 4 * LANES * LANES):
             raise ValueError(f"n={p.n} must be in [256, 65536] and divide 128")
         self.p = p
         q = p.q
         self.q = q
+        self.ndiags = 2 * self.nlimbs - 1
         self.q_lo = q & 0xFFFFFFFF
         self.q_hi = q >> 32
         # -q^-1 mod 2^32 (low word of the R=2^64 constant works: an inverse
@@ -127,9 +152,9 @@ class MxuPlan64:
         # (negated, two's complement mod 2^160) into the accumulator's
         # constant initial words — the only correction the balanced-digit
         # matmul needs, and it is data-independent.
-        bound = NLIMBS * self.rows * 128 * 128
+        bound = self.nlimbs * self.rows * 128 * 128
         self.diag_off = 1 << (bound - 1).bit_length()
-        off_total = sum(self.diag_off << (8 * k) for k in range(NDIAGS))
+        off_total = sum(self.diag_off << (8 * k) for k in range(self.ndiags))
         self._const_words = _words160(-off_total)
         #: Lazy-reduction window: intermediate values may stay in [0, 2q)
         #: (the balanced-digit matmul only needs operands < 2^62 for digit
@@ -138,11 +163,8 @@ class MxuPlan64:
         #: mont_mul64 -> < q for a, b < 2q when q < 2^61).  Only the final
         #: reducer of each kernel fully normalizes to [0, q).  The margin
         #: keeps 2q + S/2^96 clear of 2^62.
-        self.lazy = q < (1 << 61) - (1 << 40)
-        r64 = pow(2, 64, q)
-        r32 = pow(2, 32, q)
-        r96 = pow(2, 96, q)
-        r160 = pow(2, 160, q)
+        self.lazy = self._lazy_window(q)
+        r32, r64, r96, r160 = self._domain_scales(q)
 
         n1, n2, t = self.n1, self.n2, self.t
         w1 = pow(p.omega, n2, q)
@@ -176,9 +198,10 @@ class MxuPlan64:
             x-digit stack: as i runs up through the diagonal, j = k - i
             runs down, matching block position 7 - j running up."""
             digit_arrays = [np.empty(m.shape, dtype=np.int8)
-                            for _ in range(NLIMBS)]
+                            for _ in range(self.nlimbs)]
             for idx, v in np.ndenumerate(m):
-                for i, d in enumerate(_balanced_digits(int(v))):
+                for i, d in enumerate(_balanced_digits(int(v),
+                                                       self.nlimbs)):
                     digit_arrays[i][idx] = d
             limbs = np.concatenate(
                 digit_arrays[::-1], axis=1 if left else 0
@@ -279,19 +302,44 @@ class MxuPlan64:
     def _to_limbs_i8(self, hi, lo):
         """Balanced-signed digit scan of the (hi, lo) pair: 8 int8 digits
         in [-128, 127] whose weighted sum is EXACTLY the operand (top byte
-        < 64 for q < 2^62, so the final borrow is always absorbed)."""
+        < 64 for operands < 2^62, so the final borrow is always absorbed).
+
+        The borrow recurrence c[j+1] = (b[j] + c[j] >= 128) is an adder
+        carry chain: with ``prefix_scan`` it is evaluated as a Sklansky
+        parallel prefix (generate g = (b >= 128), propagate p = (b >= 127),
+        depth 4 instead of 8) — more ops, shallower chain; otherwise the
+        serial borrow ripple.  Both are bit-identical; the default is the
+        hardware-measured winner (DESIGN.md §2.5).  Bit-twiddled booleans
+        only: `jnp.where`-based digit selects hang Mosaic (CLAUDE.md)."""
+        b = [((lo if j < 4 else hi) >> (8 * (j % 4))) & 0xFF if j < 8
+             else jnp.zeros_like(lo)
+             for j in range(self.nlimbs)]
+        if self.prefix_scan and self.nlimbs == 8:
+            g = [x >> 7 for x in b]        # b[j] >= 128
+            p = [(x + 1) >> 7 for x in b]  # b[j] >= 127 (gen|prop)
+            c2 = g[1] | (p[1] & g[0])
+            g23 = g[3] | (p[3] & g[2])
+            p23 = p[3] & p[2]
+            g45 = g[5] | (p[5] & g[4])
+            p45 = p[5] & p[4]
+            c4 = g23 | (p23 & c2)
+            c6 = g45 | (p45 & c4)
+            c = [
+                None, g[0], c2, g[2] | (p[2] & c2),
+                c4, g[4] | (p[4] & c4), c6, g[6] | (p[6] & c6),
+            ]
+        else:
+            c = [None]
+            cc = None
+            for j in range(self.nlimbs - 1):
+                t = b[j] if cc is None else b[j] + cc
+                cc = (t + 128) >> 8  # borrow out of the biased digit
+                c.append(cc)
         out = []
-        c = jnp.zeros_like(lo)
-        for i in range(NLIMBS):
-            word = lo if i < 4 else hi
-            t = ((word >> (8 * (i % 4))) & 0xFF) + c  # in [0, 256]
-            # branch-free balanced digit: ((t + 128) & 0xFF) - 128, with
-            # borrow c = bit 8 of (t + 128)
+        for j in range(self.nlimbs):
+            t = b[j] if c[j] is None else b[j] + c[j]  # in [0, 256]
             biased = t + 128
-            out.append(
-                ((biased & 0xFF).astype(I32) - 128).astype(jnp.int8)
-            )
-            c = (biased >> 8) & 1
+            out.append(((biased & 0xFF).astype(I32) - 128).astype(jnp.int8))
         return out
 
     def _redc96(self, words, final: bool = True):
@@ -350,6 +398,14 @@ class MxuPlan64:
     #: bit-identical; carry-save trades ~equal op count for far shallower
     #: dependency chains (the measured limit, DESIGN.md §2.5).
     carry_save = True
+    #: Digit-scan borrow chain: Sklansky parallel prefix (True) vs serial
+    #: ripple (False).  Bit-identical; measured on hardware (B=2048 nwc):
+    #: serial 412-417k/s, Sklansky 384-394k/s — the prefix network's extra
+    #: ~19 VPU ops/element cost more than the depth-8 -> depth-4 chain
+    #: saves, so the serial ripple is the default (DESIGN.md §2.5).
+    prefix_scan = False
+    #: Skip the Shoup final conditional subtract under the lazy window.
+    shoup_lazy = True
 
     def _cond_sub2(self, t_hi, t_lo):
         """Two conditional subtracts: [0, 3q) -> [0, q)."""
@@ -403,6 +459,10 @@ class MxuPlan64:
             return t_hi, t_lo
         return self._cond_sub2(t_hi, t_lo)
 
+    #: carry-save reducer hook used by _matmul_mont: REDC96 here; the
+    #: Goldilocks subclass swaps in the phi-fold (gl64.py).
+    _reduce_cs = _redc96_cs
+
     def _matmul_mont(self, x, w_desc, left: bool, final: bool = True):
         """REDC96( W @ x ) or REDC96( x @ W ) on the int8 MXU path.
 
@@ -421,10 +481,11 @@ class MxuPlan64:
         # contraction unit: the summed length per digit block — the row
         # count for a left (W @ x) product, 128 lanes for a right one.
         unit = hi.shape[-2] if left else hi.shape[-1]
+        nl = self.nlimbs
         diags: list = []
-        for k in range(NDIAGS):
-            i0, i1 = max(0, k - (NLIMBS - 1)), min(NLIMBS - 1, k)
-            p0 = (NLIMBS - 1) - (k - i0)
+        for k in range(self.ndiags):
+            i0, i1 = max(0, k - (nl - 1)), min(nl - 1, k)
+            p0 = (nl - 1) - (k - i0)
             kk = (i1 - i0 + 1) * unit
             if left:
                 prod = jnp.dot(
@@ -443,14 +504,14 @@ class MxuPlan64:
         if self.carry_save:
             # signed 16-bit digit lanes; diag k sits at byte offset k:
             # even k lands on digit k/2 whole, odd k splits 8/…-8
-            d = [jnp.zeros_like(diags[0]) for _ in range(2 * NWORDS)]
+            d = [jnp.zeros_like(diags[0]) for _ in range(self.cs_lanes)]
             for k, diag in enumerate(diags):
                 if k % 2 == 0:
                     d[k // 2] = d[k // 2] + diag
                 else:
                     d[(k - 1) // 2] = d[(k - 1) // 2] + ((diag & 0xFF) << 8)
                     d[(k + 1) // 2] = d[(k + 1) // 2] + (diag >> 8)
-            return self._redc96_cs(d, final)
+            return self._reduce_cs(d, final)
 
         # offset diagonals into unsigned range (see diag_off derivation)
         diags = [(d + I32(self.diag_off)).astype(U32) for d in diags]
@@ -487,6 +548,15 @@ class MxuPlan64:
                 carry = c1 + c2
         return self._redc96(words, final=final)
 
+    def _shoup(self, x, w, ws):
+        """Shoup constant-multiply feeding a balanced-digit matmul scan:
+        under the lazy window the [0, 2q) representative is passed through
+        directly (the scan only needs < 2^62), skipping the final
+        compare+select of the strict form."""
+        if self.lazy and self.shoup_lazy:
+            return shoup_mul64_lazy(x, w, ws, self.q)
+        return shoup_mul64(x, w, ws, self.q)
+
     def _emul(self, x, table):
         return mont_mul64(x, table, self.q, self.q_prime64)
 
@@ -513,7 +583,7 @@ class MxuPlan64:
 
         def fwd(x):
             x = self._matmul_mont(x, w1, left=True, final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             return self._matmul_mont(x, w2, left=False, final=False)
 
         for g in range(a_hi.shape[0]):
@@ -521,7 +591,7 @@ class MxuPlan64:
             fb = fwd((b_hi[g], b_lo[g]))
             c = self._emul(fa, fb)  # variable*variable: Montgomery
             c = self._matmul_mont(c, w2i, left=False, final=False)
-            c = shoup_mul64(c, midi_w, midi_ws, self.q)
+            c = self._shoup(c, midi_w, midi_ws)
             r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -540,7 +610,7 @@ class MxuPlan64:
 
         def fwd(x):  # plain in -> Montgomery-64 out (w2 carries 2^160)
             x = self._matmul_mont(x, w1, left=True, final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             return self._matmul_mont(x, w2, left=False, final=False)
 
         for g in range(a_hi.shape[0]):
@@ -548,7 +618,7 @@ class MxuPlan64:
             fb = fwd((b_hi[g], b_lo[g]))
             c = self._emul(fa, fb)
             c = self._matmul_mont(c, w2i, left=False, final=False)
-            c = shoup_mul64(c, midi_w, midi_ws, self.q)  # n^-1 folded
+            c = self._shoup(c, midi_w, midi_ws)  # n^-1 folded
             r_hi, r_lo = self._matmul_mont(c, w1i_exit, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -563,7 +633,7 @@ class MxuPlan64:
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
                                   final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             r_hi, r_lo = self._matmul_mont(x, w2p, left=False)  # plain out
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -578,7 +648,7 @@ class MxuPlan64:
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False,
                                   final=False)
-            x = shoup_mul64(x, midi_w, midi_ws, self.q)  # n^-1 folded
+            x = self._shoup(x, midi_w, midi_ws)  # n^-1 folded
             r_hi, r_lo = self._matmul_mont(x, w1i, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -604,7 +674,7 @@ class MxuPlan64:
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
                                   final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             r_hi, r_lo = self._matmul_mont(x, w2, left=False)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -624,11 +694,11 @@ class MxuPlan64:
         for g in range(a_hi.shape[0]):
             x = self._matmul_mont((a_hi[g], a_lo[g]), w1, left=True,
                                   final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             fa = self._matmul_mont(x, w2, left=False, final=False)
             c = self._emul(fa, (s_hi[g], s_lo[g]))
             c = self._matmul_mont(c, w2i, left=False, final=False)
-            c = shoup_mul64(c, midi_w, midi_ws, self.q)
+            c = self._shoup(c, midi_w, midi_ws)
             r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
@@ -646,7 +716,7 @@ class MxuPlan64:
         for g in range(x_hi.shape[0]):
             x = self._matmul_mont((x_hi[g], x_lo[g]), w1, left=True,
                                   final=False)
-            x = shoup_mul64(x, mid_w, mid_ws, self.q)
+            x = self._shoup(x, mid_w, mid_ws)
             r_hi, r_lo = self._matmul_mont(x, w2p, left=False)
             out_hi[g] = r_hi
             out_lo[g] = r_lo

@@ -128,12 +128,23 @@ def shoup_mul32(a: jnp.ndarray, w: jnp.ndarray, w_shoup: jnp.ndarray,
     return jnp.where(r >= q, r - U32(q), r)
 
 
-def shoup_mul64(a: Pair, w: Pair, w_shoup: Pair, q: int) -> Pair:
-    """64-bit Shoup multiply: (a * w) mod q, q < 2^62, w' = floor(w*2^64/q)."""
+def shoup_mul64_lazy(a: Pair, w: Pair, w_shoup: Pair, q: int) -> Pair:
+    """64-bit Shoup multiply WITHOUT the final conditional subtract.
+
+    Returns the lazy representative r = a*w - floor(a*w'/2^64)*q in
+    [0, 2q), exact for ANY a < 2^64 (the floor estimate is off by at most
+    one for a < 2^64, independent of a's reduction state — so lazy < 2q
+    inputs are fine).  Consumers that tolerate < 2q (the balanced-digit
+    matmul scan of kernels/mxu64.py) skip the compare+select entirely."""
     t3, t2, _, _ = mul64_full(a, w_shoup)  # floor(a*w' / 2^64)
     aw = mul64_lo(a, w)
     tq = mul64_lo((t3, t2), const64(q, a[1]))
-    r = sub64(aw, tq)  # true r < 2q < 2^63: wrapping-exact
+    return sub64(aw, tq)  # true r < 2q < 2^63: wrapping-exact
+
+
+def shoup_mul64(a: Pair, w: Pair, w_shoup: Pair, q: int) -> Pair:
+    """64-bit Shoup multiply: (a * w) mod q, q < 2^62, w' = floor(w*2^64/q)."""
+    r = shoup_mul64_lazy(a, w, w_shoup, q)
     qq = const64(q, a[1])
     return select64(ge64(r, qq), sub64(r, qq), r)
 
