@@ -104,6 +104,8 @@ def main():
         for name in ("dilithium_256", "p24_1024"):
             bench_case(name, batch * 4, iters, "nwc")
         bench_case("p60_32768", max(batch // 8, 32), iters, "nwc")
+        # width-64 Goldilocks: beyond the reference's WIDTH=60 ceiling
+        bench_case("goldilocks_4096", batch, iters, "nwc")
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)

@@ -30,6 +30,28 @@ def test_impl_selection():
     assert dispatch.impl_name(make_params(32768, 16580609)) == "pallas-mxu64"
     assert (dispatch.impl_name(make_params(32768, 576460752308273153))
             == "pallas-mxu64")
+    # the Goldilocks prime (width 64) gets its phi-fold kernel inside the
+    # kernel n-window and the dedicated XLA ring outside it
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
+    assert dispatch.impl_name(make_params(256, GOLDILOCKS_Q)) == "pallas-gl64"
+    assert (dispatch.impl_name(make_params(16, GOLDILOCKS_Q))
+            == "xla-merged-64")
+
+
+def test_dispatch_goldilocks_matches_golden(rng):
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
+    p = make_params(256, GOLDILOCKS_Q)
+    mult = dispatch.best_nwc_poly_mult(p)
+    a = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint64)
+    b = np.array([[p.q - 1] * p.n], dtype=np.uint64)
+    hi, lo = mult(a, b)
+    got = (np.asarray(hi).astype(object) << 32) + np.asarray(lo).astype(object)
+    want = reference.nwc_poly_mult(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], p
+    )
+    assert [int(v) for v in got[0]] == want
 
 
 def test_unknown_op_rejected():

@@ -1,0 +1,120 @@
+"""Goldilocks-prime MXU Pallas-kernel tests — interpret mode on CPU.
+
+q = 2^64 - 2^32 + 1 is WIDER than the reference's WIDTH=60 ceiling
+(rtl/ntt_poly_mult.sv:15-28); the fused kernel covers it via 9 balanced
+digits and a phi-fold reducer (kernels/gl64.py).  Oracle: pure-Python
+goldens (reference.py, plain big-int arithmetic — independent of the
+kernel's digit/fold machinery)."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import reference
+from tpu_ntt.modmath import GOLDILOCKS_Q
+from tpu_ntt.params import make_params
+from tpu_ntt.kernels.gl64 import GoldilocksPlan64
+from tpu_ntt.kernels.mxu64 import MxuPlan64
+
+GL_SMALL = make_params(256, GOLDILOCKS_Q)
+
+
+def enc(rows):
+    return (
+        np.array([[x >> 32 for x in r] for r in rows], dtype=np.uint32),
+        np.array([[x & 0xFFFFFFFF for x in r] for r in rows], dtype=np.uint32),
+    )
+
+
+def dec(hi, lo):
+    return (np.asarray(hi).astype(object) << 32) + np.asarray(lo).astype(object)
+
+
+def make_plan(p):
+    mp = GoldilocksPlan64(p)
+    mp.groups_per_step = 1  # keep interpret-mode cost down
+    return mp
+
+
+def test_plan_validation():
+    with pytest.raises(ValueError):
+        GoldilocksPlan64(make_params(256, 576460752303415297))  # not GL q
+    with pytest.raises(ValueError):
+        # generic double-word plan must keep rejecting width-64 moduli
+        MxuPlan64(GL_SMALL)
+    mp = GoldilocksPlan64(GL_SMALL)
+    assert mp.lazy and mp.nlimbs == 9 and mp.ndiags == 17
+
+
+def test_nwc_gl_matches_golden_boundary_rows(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    B = 3
+    a = [[p.q - 1] * p.n,
+         [0] * p.n,
+         [rng.randrange(p.q) for _ in range(p.n)]]
+    b = [[p.q - 1] * p.n,
+         [rng.randrange(p.q) for _ in range(p.n)],
+         [rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    for i in range(B):
+        want = reference.nwc_poly_mult(a[i], b[i], p)
+        assert [int(v) for v in got[i]] == want
+
+
+def test_nwc_gl_vs_schoolbook(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    a = [[rng.randrange(p.q) for _ in range(p.n)]]
+    b = [[rng.randrange(p.q) for _ in range(p.n)]]
+    got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.schoolbook_negacyclic(a[0], b[0], p.q)
+    assert [int(v) for v in got[0]] == want
+
+
+def test_cyclic_gl_matches_golden(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    a = [[rng.randrange(p.q) for _ in range(p.n)]]
+    b = [[p.q - 1] * p.n]
+    got = dec(*mp.cyclic_poly_mult(enc(a), enc(b), interpret=True))
+    want = reference.cyclic_poly_mult(a[0], b[0], p)
+    assert [int(v) for v in got[0]] == want
+
+
+def test_fwd_gl_matches_golden_and_roundtrips(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    x = [[rng.randrange(p.q) for _ in range(p.n)]]
+    f = mp.ntt_fwd(enc(x), interpret=True)
+    got4 = dec(*f)[0]
+    perm = mp.fourstep_to_natural_perm()
+    nat = [int(got4[perm[j]]) for j in range(p.n)]
+    want = reference.cg_ntt(x[0], p.omega, p.q)
+    assert nat == want
+    rt = dec(*mp.ntt_inv(f, interpret=True))
+    assert [int(v) for v in rt[0]] == x[0]
+
+
+def test_nwc_fwd_gl_matches_twisted_ntt(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    x = [rng.randrange(p.q) for _ in range(p.n)]
+    hi, lo = mp.nwc_ntt_fwd(enc([x]), interpret=True)
+    out = dec(hi, lo)[0]
+    twisted = [x[i] * pow(p.psi, i, p.q) % p.q for i in range(p.n)]
+    nat = reference.cg_ntt(twisted, p.omega, p.q)
+    perm = mp.fourstep_to_natural_perm()
+    assert [int(out[perm[j]]) for j in range(p.n)] == nat
+
+
+def test_cached_spectrum_product_gl(rng):
+    p = GL_SMALL
+    mp = make_plan(p)
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    a_rows = [[rng.randrange(p.q) for _ in range(p.n)],
+              [p.q - 1] * p.n]
+    spec = mp.nwc_spectrum(enc([b, b]), interpret=True)
+    got = dec(*mp.nwc_poly_mult_cached(enc(a_rows), spec, interpret=True))
+    for i in range(2):
+        want = reference.nwc_poly_mult(a_rows[i], b, p)
+        assert [int(v) for v in got[i]] == want

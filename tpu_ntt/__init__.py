@@ -13,6 +13,7 @@ psi-twist negacyclic wrapping) for Google TPU:
 
 from .params import (  # noqa: F401
     DILITHIUM_256,
+    GOLDILOCKS_4096,
     P24_1024,
     P24_4096,
     P60_4096,

@@ -14,12 +14,16 @@ Selection policy (measured on TPU v5e; CLAUDE.md performance ledger and
 docs/DESIGN.md §2):
   * q < 2^24, 256 <= n <= 16384, n % 128 == 0  ->  fused int8-MXU Pallas
     kernel (kernels/mxu.py), every operation.
+  * q = 2^64 - 2^32 + 1 with 256 <= n <= 65536  ->  Goldilocks phi-fold
+    int8-MXU kernel (kernels/gl64.py) — the special form is the only
+    fused path above the generic kernel's q < 2^62 ceiling.
   * 2^24 <= q < 2^62 with 256 <= n <= 65536     ->  double-word int8-MXU
     kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
     XLA path it stays flat in throughput as batch grows).  24-bit moduli
     at 16384 < n <= 65536 also take this path (multi-tile left matmuls).
   * otherwise                                   ->  XLA merged-psi + Shoup
-    (ntt.py), single- or double-word by q.
+    (ntt.py), single- or double-word by q (Goldilocks gets its dedicated
+    XLA ring outside the kernel n-window).
 
 All backends are bit-identical; the returned callables are jitted and
 accept/return plain numpy/JAX uint arrays ((B, n) uint32 for q < 2^31,
@@ -41,6 +45,7 @@ import jax
 import numpy as np
 
 from . import ntt as _ntt
+from .modmath import GOLDILOCKS_Q as _GOLDILOCKS_Q
 from .ntt import NttPlan
 from .params import NttParams
 
@@ -105,6 +110,28 @@ def _backend(p: NttParams):
             ),
         }
         return "pallas-mxu", ops
+
+    if _KERNEL64_N_OK(p) and p.q == _GOLDILOCKS_Q:
+        # width-64 special form: 9-digit phi-fold kernel (gl64.py) — the
+        # only fused path above the generic kernel's q < 2^62 ceiling
+        from .kernels.gl64 import GoldilocksPlan64
+
+        mp = GoldilocksPlan64(p)
+        interp = jax.devices()[0].platform != "tpu"
+        ops = {
+            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, True),
+            "cyclic": _wrap(
+                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, True
+            ),
+            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, True),
+            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, True),
+            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, True),
+            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, True),
+            "cached": _wrap(
+                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
+            ),
+        }
+        return "pallas-gl64", ops
 
     if _KERNEL64_N_OK(p) and p.width <= 62 and not (
         _KERNEL_N_OK(p) and p.width <= 24

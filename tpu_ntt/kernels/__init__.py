@@ -7,4 +7,6 @@ VPU.  Everything is validated bit-exact against the XLA path (tests) and the
 pure-Python golden models.
 """
 
+from .gl64 import GoldilocksPlan64  # noqa: F401
 from .mxu import MxuPlan  # noqa: F401
+from .mxu64 import MxuPlan64  # noqa: F401

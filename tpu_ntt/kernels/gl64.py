@@ -1,0 +1,186 @@
+"""Fused Goldilocks-prime poly-mult Pallas kernel (int8 MXU, phi-fold).
+
+q = 2^64 - 2^32 + 1 is one bit WIDER than the generic double-word kernel's
+q < 2^62 ceiling (mxu64.py), yet its special form makes the kernel math
+strictly cheaper.  The reference accelerator stops at WIDTH=60
+(rtl/ntt_poly_mult.sv:15-28); this modulus is the STARK/zk ecosystem's
+workhorse and the natural "wider than the reference" breadth point —
+modmath.GoldilocksRing covers the XLA path, this kernel is the fused
+production path.
+
+Design deltas vs MxuPlan64 (everything else — group layout, digit-diagonal
+matmuls, carry-save accumulation, kernel bodies, wrappers — is inherited):
+
+* **9 balanced digits** instead of 8: operands live in [0, 2^64) (residues
+  mod q plus the lazy window below), whose top byte can reach 255, so the
+  borrow scan needs a 9th digit; it is just the final borrow (0 or 1).
+  17 digit diagonals instead of 15 — the MXU, ~17% utilized in the 60-bit
+  kernel, absorbs the two extra matmuls for free.
+* **phi-fold reduction instead of Montgomery REDC96.**  With phi = 2^32:
+  phi^2 = phi - 1, 2^96 = phi^3 ≡ -1, and 2^64 ≡ phi - 1 (mod q).  The
+  160-bit carry-save accumulator S = Σ d_j 2^16j therefore collapses by
+  TWO constant-shift folds — e_j = d_j - d_{j+6} (the 2^96 ≡ -1 fold),
+  then 2^64/2^80 terms folded through 2^64 ≡ 2^32 - 1 — into four signed
+  16-bit-digit lanes, followed by one bias + carry propagation and two
+  word-level wrap corrections.  No multiplies at all in the reducer
+  (REDC96 spends 3 Montgomery steps x 8 product halves), and no domain
+  scales anywhere: every transform matrix and twiddle table is PLAIN
+  (_domain_scales returns ones), so spectra are plain values and the
+  pointwise product is a plain goldilocks_mul.
+* **Always-lazy window [0, 2^64).**  The 9-digit scan is exact for ANY
+  v < 2^64 and the fold output is < 2^64 by construction, so non-final
+  reductions skip normalization entirely; only kernel exits pay ONE
+  conditional subtract (q > 2^63, so [0, 2^64) -> [0, q) needs just one).
+* Elementwise steps (mid twiddles, pointwise) use modmath.goldilocks_mul —
+  exact for any a, b < 2^64, output [0, q).  Shoup encoding is unusable
+  here (it needs q < 2^63), so the inherited mid tables' Shoup words ride
+  along unused (~256 KB VMEM per kernel; accepted for body reuse).
+
+Bit-exact vs the big-int golden models (tests/test_kernels_gl64.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..modmath import GOLDILOCKS_Q, goldilocks_mul
+from ..params import NttParams
+from .mxu64 import NWORDS, MxuPlan64
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+#: bias added to each folded digit lane to make it nonnegative before the
+#: carry propagation; |f_j| is bounded well under it (asserted in __init__)
+_BIAS = 1 << 30
+_BIAS_TOTAL = sum(_BIAS << (16 * j) for j in range(4))
+
+
+class GoldilocksPlan64(MxuPlan64):
+    """MxuPlan64 specialization for q = 2^64 - 2^32 + 1 (width 64)."""
+
+    nlimbs = 9
+    #: diag byte offsets reach 16 -> lanes through d[8]; the fold reads
+    #: d[0..10] (zero-padded), so allocate 11.
+    cs_lanes = 11
+
+    def _check_width(self, p: NttParams) -> None:
+        if p.q != GOLDILOCKS_Q:
+            raise ValueError(
+                "GoldilocksPlan64 requires q = 2^64 - 2^32 + 1; "
+                "use MxuPlan64 for generic q < 2^62"
+            )
+
+    def _domain_scales(self, q: int) -> tuple[int, int, int, int]:
+        # the phi-fold divides by nothing: plain domain everywhere
+        return (1, 1, 1, 1)
+
+    def _lazy_window(self, q: int) -> bool:
+        # the digit scan is exact for any operand < 2^64, which is the
+        # fold's (and goldilocks_mul's) whole output range
+        return True
+
+    def __init__(self, p: NttParams):
+        super().__init__(p)
+        self._bias_modq = _BIAS_TOTAL % self.q
+        # fold-lane magnitude bound: each carry-save lane takes one even
+        # diagonal (<= D), one odd-diagonal low byte (< 2^24) and one odd
+        # high part (<= D/256 + 1); two folds then sum at most 4 lanes.
+        D = self.nlimbs * self.rows * 127 * 127
+        lane = D + (1 << 24) + D // 256 + 1
+        assert 4 * lane < _BIAS, "folded digit lanes must fit the bias"
+
+    # -- reducers -------------------------------------------------------
+
+    def _redc96(self, words, final: bool = True):  # pragma: no cover
+        raise NotImplementedError(
+            "GoldilocksPlan64 is carry-save only (the u32-words REDC path "
+            "assumes Montgomery domain scales)"
+        )
+
+    def _cond_sub_q(self, t_hi, t_lo):
+        """One conditional subtract: [0, 2^64) -> [0, q) (q > 2^63)."""
+        q_lo = U32(self.q_lo)
+        q_hi = U32(self.q_hi)
+        ge = (t_hi > q_hi) | ((t_hi == q_hi) & (t_lo >= q_lo))
+        new_lo = t_lo - q_lo
+        borrow = (t_lo < q_lo).astype(U32)
+        new_hi = t_hi - q_hi - borrow
+        return (jnp.where(ge, new_hi, t_hi), jnp.where(ge, new_lo, t_lo))
+
+    def _reduce_cs(self, d, final: bool):
+        """Phi-fold of the carry-save accumulator: S = Σ d_j 2^16j (signed
+        i32 digit lanes, |d_j| small) -> S mod q as a (hi, lo) pair in
+        [0, 2^64) (``final`` normalizes to [0, q) with one conditional
+        subtract).
+
+        Steps (all exact mod q; no multiplies):
+          1. 2^96 ≡ -1:   e_j = d_j - d_{j+6}           (j = 0..5)
+          2. 2^64 ≡ φ-1:  f = (e0-e4, e1-e5, e2+e4, e3+e5)
+          3. bias each f_j by 2^30 (nonnegative), propagate to u16 digits;
+             the carry out c4 (weight 2^64) and the bias total are folded
+             back word-level: +c4·2^64 ≡ +c4·φ - c4, and every 2^64 wrap
+             of the pair arithmetic is itself ≡ φ-1.
+        """
+        zero = jnp.zeros_like(d[0])
+        e = [d[j] - (d[j + 6] if j + 6 < len(d) else zero)
+             for j in range(6)]
+        f = [e[0] - e[4], e[1] - e[5], e[2] + e[4], e[3] + e[5]]
+
+        u, c = [], None
+        for x in f:
+            t = (x + I32(_BIAS)).astype(U32) if c is None else (
+                (x + I32(_BIAS)).astype(U32) + c
+            )
+            u.append(t & 0xFFFF)
+            c = t >> 16
+        c4 = c  # < 2^16, weight 2^64
+        lo = u[0] | (u[1] << 16)
+        hi = u[2] | (u[3] << 16)
+        wrap_fix = U32(0xFFFFFFFF)  # 2^64 ≡ 2^32 - 1 word-level
+
+        # + c4·2^32 (may wrap past 2^64: the lost 2^64 ≡ φ-1, add it back)
+        hi1 = hi + c4
+        wrapped = hi1 < hi
+        lo2 = lo + wrap_fix  # i.e. lo - 1 mod 2^32
+        c_lo = (lo2 < lo).astype(U32)  # carry iff lo >= 1
+        hi2 = jnp.where(wrapped, hi1 + c_lo, hi1)
+        lo3 = jnp.where(wrapped, lo2, lo)
+
+        # - c4 (64-bit borrow ≡ subtracting φ-1 once more)
+        lo4 = lo3 - c4
+        b_lo = (lo3 < c4).astype(U32)
+        hi3 = hi2 - b_lo
+        under = (hi2 == 0) & (b_lo == 1)
+        # wrapped value >= 2^64 - 2^16: subtracting φ-1 cannot re-borrow
+        lo5 = jnp.where(under, lo4 + U32(1), lo4)
+        c_u = jnp.where(under & (lo4 == U32(0xFFFFFFFF)), U32(1), U32(0))
+        hi4 = jnp.where(under, hi3 - U32(1) + c_u, hi3)
+
+        # - (bias total mod q); a 64-bit borrow is again ≡ -(φ-1)
+        bq_lo = U32(self._bias_modq & 0xFFFFFFFF)
+        bq_hi = U32(self._bias_modq >> 32)
+        b2 = (hi4 < bq_hi) | ((hi4 == bq_hi) & (lo5 < bq_lo))
+        lo6 = lo5 - bq_lo
+        bb = (lo5 < bq_lo).astype(U32)
+        hi5 = hi4 - bq_hi - bb
+        # wrapped value > 2^32 - 1 (shown: true > -q), safe to subtract
+        lo7 = jnp.where(b2, lo6 + U32(1), lo6)
+        c_b = jnp.where(b2 & (lo6 == U32(0xFFFFFFFF)), U32(1), U32(0))
+        hi6 = jnp.where(b2, hi5 - U32(1) + c_b, hi5)
+
+        if not final:
+            return hi6, lo7
+        return self._cond_sub_q(hi6, lo7)
+
+    # -- elementwise ----------------------------------------------------
+
+    def _shoup(self, x, w, ws):
+        """Plain-constant multiply: Shoup needs q < 2^63, so the mid
+        twiddles use the special-form goldilocks_mul instead (the unused
+        Shoup words ride along for kernel-body signature reuse)."""
+        del ws
+        return goldilocks_mul(x, w)
+
+    def _emul(self, x, table):
+        return goldilocks_mul(x, table)

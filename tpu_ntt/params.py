@@ -180,7 +180,17 @@ P60_4096 = NttParams(
     n=4096, q=1152921504606830593, psi=431606828070683274, name="p60_4096"
 )
 
-PRESETS = {p.name: p for p in (DILITHIUM_256, P24_1024, P24_4096, P60_4096)}
+#: 4096-point, Goldilocks prime 2^64 - 2^32 + 1 (width 64) — BEYOND the
+#: reference's WIDTH=60 ceiling (rtl/ntt_poly_mult.sv:15-28); the
+#: STARK/zk ecosystem's standard modulus, served by a dedicated
+#: special-form kernel (kernels/gl64.py) and ring (modmath.GoldilocksRing).
+GOLDILOCKS_4096 = NttParams(
+    n=4096, q=(1 << 64) - (1 << 32) + 1, psi=1532612707718625687,
+    name="goldilocks_4096"
+)
+
+PRESETS = {p.name: p for p in (DILITHIUM_256, P24_1024, P24_4096, P60_4096,
+                               GOLDILOCKS_4096)}
 
 
 @functools.lru_cache(maxsize=None)
