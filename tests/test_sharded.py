@@ -121,6 +121,31 @@ def test_sharded_nwc_poly_mult_vs_golden(p, n1, rng=random.Random(12)):
     assert list(got) == want
 
 
+def test_sharded_goldilocks_nwc_vs_golden(rng=random.Random(33)):
+    """The width-64 Goldilocks ring composes with the sharded four-step
+    path unchanged (its dedicated reduction rides the same (hi, lo)
+    element layout) — transform-internal sharding is not capped at the
+    generic ring's q < 2^62."""
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+    from tpu_ntt.params import make_params
+
+    p = make_params(1024, GOLDILOCKS_Q)
+    fs = sharded.FourStepPlan(p, 32, 32)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [p.q - 1] * p.n
+    want = reference.nwc_poly_mult(a, b, p)
+    got = fs.decode(
+        sn.nwc_poly_mult(
+            sn.put_natural(fs.encode(a), batched=False),
+            sn.put_natural(fs.encode(b), batched=False),
+            batched=False,
+        )
+    )
+    assert list(got) == want
+
+
 def test_sharded_batched_2d_mesh(rng=random.Random(13)):
     """batch x coeff mesh: 2-way data parallel, 4-way transform-internal."""
     p = DILITHIUM_256

@@ -406,6 +406,11 @@ class MxuPlan64:
     prefix_scan = False
     #: Skip the Shoup final conditional subtract under the lazy window.
     shoup_lazy = True
+    #: Mosaic grid-dimension hint: ``"parallel"`` tells the compiler the
+    #: grid steps (disjoint polynomial groups) are order-independent,
+    #: ``"arbitrary"`` forces sequential semantics, ``None`` is Mosaic's
+    #: default.  Kept as a measured toggle (DESIGN.md §2.5).
+    dimension_semantics: str | None = None
 
     def _cond_sub2(self, t_hi, t_lo):
         """Two conditional subtracts: [0, 3q) -> [0, q)."""
@@ -748,6 +753,11 @@ class MxuPlan64:
             return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
 
         in_specs = [data_spec] * len(data) + [spec_for(t) for t in tables]
+        compiler_params = None
+        if self.dimension_semantics is not None and not interpret:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=(self.dimension_semantics,)
+            )
         return pl.pallas_call(
             kernel,
             grid=(g // gps,),
@@ -758,6 +768,7 @@ class MxuPlan64:
             in_specs=in_specs,
             out_specs=(data_spec, data_spec),
             interpret=interpret,
+            compiler_params=compiler_params,
         )(*data, *tables)
 
     def _unflatten(self, out, bsz):
