@@ -108,6 +108,57 @@ def test_stream_fast_numeric_path(rng):
     assert [int(v) for v in got[0]] == want
 
 
+def test_device_pairs_backend(rng):
+    """Double-word dispatch backends ((hi, lo) uint32 pairs) work through
+    the raw device driver path — layout conversion both directions."""
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+    from tpu_ntt.params import make_params
+
+    p = make_params(256, GOLDILOCKS_Q)
+    dev = NttDevice(p)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [p.q - 1] * p.n
+    dev.load_poly(a, 0)
+    dev.load_poly(b, 1)
+    dev.start()
+    got = dev.read_all()
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got] == want
+
+
+def test_stream_pairs_backend(rng):
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+    from tpu_ntt.params import make_params
+
+    p = make_params(256, GOLDILOCKS_Q)
+    stream = NttStream(p)
+    a = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint64)
+    b = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint64)
+    stream.submit(a, b)
+    got = stream.get()
+    want = reference.nwc_poly_mult(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], p
+    )
+    assert [int(v) for v in got[0]] == want
+
+
+def test_device_pinned_reduction_path(rng):
+    """Pinning a reduction backend bypasses dispatch and parameterizes the
+    XLA ring (the REDUCTION_TYPE mux analog) — still bit-exact."""
+    from tpu_ntt.params import Reduction
+
+    p = DILITHIUM_256
+    dev = NttDevice(p, reduction=Reduction.BARRETT)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    dev.load_poly(a, 0)
+    dev.load_poly(b, 1)
+    dev.start()
+    got = dev.read_all()
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got] == want
+
+
 def test_wait_times_out_on_stuck_dispatch():
     """NttDevice.wait must enforce its deadline by polling readiness, not by
     blocking unboundedly first (round-1 advisor finding)."""

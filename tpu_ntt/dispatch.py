@@ -88,7 +88,7 @@ def _wrap(fn, nargs, split):
 
 @functools.lru_cache(maxsize=None)
 def _backend(p: NttParams):
-    """(name, {op: callable}) — the single policy table."""
+    """(name, {op: callable}, takes_pairs) — the single policy table."""
     if _KERNEL_N_OK(p) and p.width <= 24:
         from .kernels.mxu import MxuPlan
 
@@ -109,7 +109,7 @@ def _backend(p: NttParams):
                 lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, False
             ),
         }
-        return "pallas-mxu", ops
+        return "pallas-mxu", ops, False
 
     if _KERNEL64_N_OK(p) and p.q == _GOLDILOCKS_Q:
         # width-64 special form: 9-digit phi-fold kernel (gl64.py) — the
@@ -131,7 +131,7 @@ def _backend(p: NttParams):
                 lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
             ),
         }
-        return "pallas-gl64", ops
+        return "pallas-gl64", ops, True
 
     if _KERNEL64_N_OK(p) and p.width <= 62 and not (
         _KERNEL_N_OK(p) and p.width <= 24
@@ -156,7 +156,7 @@ def _backend(p: NttParams):
                 lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
             ),
         }
-        return "pallas-mxu64", ops
+        return "pallas-mxu64", ops, True
 
     plan = NttPlan(p)
     split = plan.ring.nlimbs == 2
@@ -177,7 +177,13 @@ def _backend(p: NttParams):
         "spectrum": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
         "cached": _wrap(cached, 2, split),
     }
-    return name, ops
+    return name, ops, split
+
+
+def takes_pairs(p: NttParams) -> bool:
+    """True if the selected backend consumes/produces (hi, lo) uint32 word
+    pairs (double-word rings); False for plain (B, n) uint32 arrays."""
+    return _backend(p)[2]
 
 
 def best(p: NttParams, op: str):

@@ -23,9 +23,29 @@ from typing import Callable, Deque, Optional, Sequence
 import jax
 import numpy as np
 
+from . import dispatch as _dispatch
 from . import ntt as _ntt
 from .ntt import NttPlan
 from .params import NttParams, Reduction
+
+
+def _to_raw(vals: np.ndarray, pairs: bool):
+    """(B, n) object/int coefficients -> the raw array layout the selected
+    dispatch backend takes (dispatch.takes_pairs): plain uint32, or (hi, lo)
+    uint32 word pairs (values < 2^64 always, q < 2^64 enforced upstream)."""
+    u = vals.astype(np.uint64)
+    if not pairs:
+        return u.astype(np.uint32)
+    return ((u >> np.uint64(32)).astype(np.uint32),
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+
+def _from_raw(out) -> np.ndarray:
+    """Dispatch-backend output -> (B, n) python-int array (tuple = pairs)."""
+    if isinstance(out, (tuple, list)):
+        hi, lo = (np.asarray(x, dtype=np.uint64) for x in out)
+        return (hi.astype(object) << 32) + lo.astype(object)
+    return np.asarray(out).astype(object)
 
 
 class Phase(enum.Enum):
@@ -53,8 +73,18 @@ class NttDevice:
                  device: Optional[jax.Device] = None):
         self.plan = NttPlan(params, reduction)
         self.device = device or jax.devices()[0]
-        self._fn = _ntt.jit_fn(self.plan, _ntt.nwc_poly_mult)
-        self._cyclic_fn = _ntt.jit_fn(self.plan, _ntt.cyclic_poly_mult)
+        # the driver rides the dispatch policy (fastest measured backend:
+        # fused Pallas kernel where eligible) unless the caller pins a
+        # reduction backend, which only the XLA ring paths parameterize
+        if reduction is None:
+            self._fn = _dispatch.best(params, "nwc")
+            self._cyclic_fn = _dispatch.best(params, "cyclic")
+            self._raw = True
+            self._pairs = _dispatch.takes_pairs(params)
+        else:
+            self._fn = _ntt.jit_fn(self.plan, _ntt.nwc_poly_mult)
+            self._cyclic_fn = _ntt.jit_fn(self.plan, _ntt.cyclic_poly_mult)
+            self._raw = False
         self.n = params.n
         self.q = params.q
         self._a = np.zeros(self.n, dtype=object)
@@ -90,8 +120,14 @@ class NttDevice:
 
     def start(self, negacyclic: bool = True) -> None:
         """Launch the poly-mult (async — returns immediately)."""
-        a = jax.device_put(self.plan.encode(self._a), self.device)
-        b = jax.device_put(self.plan.encode(self._b), self.device)
+        if self._raw:
+            a = jax.device_put(_to_raw(self._a[None], self._pairs),
+                               self.device)
+            b = jax.device_put(_to_raw(self._b[None], self._pairs),
+                               self.device)
+        else:
+            a = jax.device_put(self.plan.encode(self._a), self.device)
+            b = jax.device_put(self.plan.encode(self._b), self.device)
         fn = self._fn if negacyclic else self._cyclic_fn
         self._result = fn(a, b)
         self.phase = Phase.RUNNING
@@ -134,6 +170,8 @@ class NttDevice:
             raise RuntimeError("start() has not been called")
         jax.block_until_ready(self._result)
         self.phase = Phase.DONE
+        if self._raw:
+            return _from_raw(self._result)[0]
         return self.plan.decode(self._result)
 
     def _check_coeff(self, addr: int, coeff: int) -> None:
@@ -164,7 +202,16 @@ class NttStream:
         if op not in ops:
             raise ValueError(f"op must be one of {sorted(ops)}")
         self._unary = op in ("fwd", "inv")
-        self._fn = _ntt.jit_fn(self.plan, ops[op])
+        # layout-free ops ride the dispatch policy (fused kernels where
+        # eligible); fwd/inv keep the XLA natural-order transform so the
+        # stream's spectrum layout is backend-independent, and pinning a
+        # reduction selects the XLA ring that parameterizes it
+        self._raw = reduction is None and not self._unary
+        if self._raw:
+            self._fn = _dispatch.best(params, op)
+            self._pairs = _dispatch.takes_pairs(params)
+        else:
+            self._fn = _ntt.jit_fn(self.plan, ops[op])
         self._queue: Deque = collections.deque()
         self.max_inflight = max_inflight
 
@@ -186,6 +233,8 @@ class NttStream:
         """Fast vectorized path for numeric numpy input; object-dtype
         (python big-int) arrays go through the exact encoder."""
         arr = np.asarray(x)
+        if self._raw:
+            return _to_raw(arr, self._pairs)
         if arr.dtype != object and np.issubdtype(arr.dtype, np.integer):
             return self.plan.encode_u64(arr.astype(np.uint64))
         return self.plan.encode(np.asarray(x, dtype=object))
@@ -196,6 +245,8 @@ class NttStream:
             raise RuntimeError("no submitted work")
         res = self._queue.popleft()
         jax.block_until_ready(res)
+        if self._raw:
+            return _from_raw(res)
         return self.plan.decode(res)
 
     def drain(self) -> list[np.ndarray]:
