@@ -25,14 +25,20 @@ import numpy as np
 
 import jax
 
-from tpu_ntt import PRESETS, NttPlan, dispatch
+from tpu_ntt import PRESETS, dispatch
 from tpu_ntt.benchlib import device_seconds_per_iter
 from tpu_ntt.params import make_params
 
 # beyond-reference size: n = 32768, 60-bit prime of 2-adicity 17 (the
 # multi-tile kernel path; the reference's largest shipped config is 4096)
 P60_32768 = make_params(32768, 576460752308273153, name="p60_32768")
-EXTRA = {"p60_32768": P60_32768}
+# config-5 scale on ONE chip via the four-step dispatch backend: n = 2^20
+# with the classic 30-bit NTT prime (2-adicity 23) and a 2-adicity-21
+# 60-bit prime (the shipped P60 prime only supports n <= 65536)
+P30_1M = make_params(1 << 20, 998244353, name="p30_1048576")
+P60_1M = make_params(1 << 20, 576460752364240897, name="p60_1048576")
+EXTRA = {"p60_32768": P60_32768, "p30_1048576": P30_1M,
+         "p60_1048576": P60_1M}
 
 # Reference FPGA best for the full 4096-pt poly-mult (153.10 us @ 250 MHz).
 BASELINE_NWC4096_PER_SEC = 1e6 / 153.10
@@ -45,10 +51,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_batch(plan, batch, seed):
+def make_batch(p, pairs, batch, seed):
     rng = np.random.default_rng(seed)
-    vals = rng.integers(0, plan.p.q, size=(batch, plan.n), dtype=np.uint64)
-    if plan.ring.nlimbs == 1:
+    vals = rng.integers(0, p.q, size=(batch, p.n), dtype=np.uint64)
+    if not pairs:
         return jax.device_put(vals.astype(np.uint32))
     return (
         jax.device_put((vals >> 32).astype(np.uint32)),
@@ -61,15 +67,15 @@ def bench_case(name, batch, iters, kind="nwc"):
     the benchmark measures exactly what users get, with no second copy of
     the backend-selection table."""
     p = PRESETS.get(name) or EXTRA[name]
-    plan = NttPlan(p)
-    a = make_batch(plan, batch, 1)
+    pairs = dispatch.takes_pairs(p)
+    a = make_batch(p, pairs, batch, 1)
     op = "nwc_fwd" if kind == "fwd" else "nwc"
     impl = dispatch.impl_name(p, op)
     fn = dispatch.best(p, op)
     if kind == "fwd":
         dt = device_seconds_per_iter(fn, a, iters=iters)
     else:
-        b = make_batch(plan, batch, 2)
+        b = make_batch(p, pairs, batch, 2)
         dt = device_seconds_per_iter(fn, a, b, iters=iters)
     rate = batch / dt
     log(f"  {name} {kind} [{impl}]: batch={batch} {dt * 1e3:.3f} ms/iter "
@@ -106,6 +112,9 @@ def main():
         bench_case("p60_32768", max(batch // 8, 32), iters, "nwc")
         # width-64 Goldilocks: beyond the reference's WIDTH=60 ceiling
         bench_case("goldilocks_4096", batch, iters, "nwc")
+        # n = 2^20 single-chip four-step (the config-5 size on ONE chip)
+        bench_case("p30_1048576", max(batch // 256, 4), iters, "nwc")
+        bench_case("p60_1048576", max(batch // 512, 2), iters, "nwc")
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)

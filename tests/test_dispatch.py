@@ -134,6 +134,73 @@ def test_all_ops_consistent_single_word(p, rng):
     assert fwd.shape == a.shape
 
 
+def test_impl_selection_large_n_fourstep():
+    """Above the kernel window (n > 65536) the policy picks the single-chip
+    four-step decomposition — the flat merged path's O(n log n) tables are
+    pathological at this scale (dispatch module docstring)."""
+    assert dispatch.impl_name(make_params(1 << 17, 998244353)) == \
+        "xla-fourstep"
+    assert dispatch.impl_name(make_params(1 << 17, 576460752364240897)) == \
+        "xla-fourstep-64"
+
+
+def test_dispatch_fourstep_large_n_vs_oracle(rng):
+    """n = 2^17 single-word product through dispatch vs the independent
+    native O(n log n) oracle; fwd/inv roundtrip; cached == direct.  This is
+    the single-chip analog of the config-5 sharded test
+    (tests/test_sharded.py::test_config5_n_two_pow_20_nwc_product)."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 998244353
+    p = make_params(1 << 17, q)
+    nrng = np.random.default_rng(41)
+    a = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64).astype(np.uint32)
+    b = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(dispatch.best_nwc_poly_mult(p)(a, b))
+    want = native.nwc_fast(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], q, p.psi
+    )
+    assert [int(v) for v in got[0]] == want
+
+    rt = np.asarray(dispatch.best_ntt_inv(p)(dispatch.best_ntt_fwd(p)(a)))
+    assert (rt == a).all()
+
+    spec = dispatch.best_nwc_spectrum(p)(b)
+    got_cached = np.asarray(dispatch.best_nwc_poly_mult_cached(p)(a, spec))
+    assert (got_cached == got).all()
+
+
+def test_dispatch_fourstep_large_n_double_word(rng):
+    """n = 2^17 with a 2-adicity-21 60-bit prime through the pairs path."""
+    q = 576460752364240897
+    p = make_params(1 << 17, q)
+    nrng = np.random.default_rng(42)
+    a = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    b = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    hi, lo = dispatch.best_ntt_inv(p)(dispatch.best_ntt_fwd(p)(a))
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    assert (got == a).all()
+
+    # boundary-heavy product row vs the reference golden on a few indices
+    # would be O(n^2); instead check the full product against the native
+    # fast oracle when available
+    from tpu_ntt import native
+
+    if native.available():
+        phi, plo = dispatch.best_nwc_poly_mult(p)(a, b)
+        prod = (np.asarray(phi).astype(object) << 32) + np.asarray(
+            plo
+        ).astype(object)
+        want = native.nwc_fast(
+            [int(v) for v in a[0]], [int(v) for v in b[0]], q, p.psi
+        )
+        assert [int(v) for v in prod[0]] == want
+
+
 def test_all_ops_consistent_double_word(rng):
     p = P60_4096
     a = np.array([[rng.randrange(p.q) for _ in range(p.n)]], dtype=np.uint64)

@@ -21,6 +21,9 @@ docs/DESIGN.md §2):
     kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
     XLA path it stays flat in throughput as batch grows).  24-bit moduli
     at 16384 < n <= 65536 also take this path (multi-tile left matmuls).
+  * n > 65536 (any q)                           ->  single-chip four-step
+    decomposition (sharded.FourStepPlan locals) — O(n) tables instead of
+    the flat path's O(n log n); demonstrated to n = 2^20 on one chip.
   * otherwise                                   ->  XLA merged-psi + Shoup
     (ntt.py), single- or double-word by q (Goldilocks gets its dedicated
     XLA ring outside the kernel n-window).
@@ -64,6 +67,8 @@ OPS = (
 _KERNEL_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 16384
 #: n window for the double-word kernel (multi-tile left matmuls above 16384)
 _KERNEL64_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 65536
+#: above this n the local four-step path replaces the flat formulations
+_FOURSTEP_MIN_N = 65536
 
 
 def _split_u64(x):
@@ -86,9 +91,80 @@ def _wrap(fn, nargs, split):
     return lambda a, b: jitted(_split_u64(a), _split_u64(b))
 
 
+def _fourstep_backend(p: NttParams):
+    """Single-chip large-N backend: the local four-step decomposition.
+
+    Above the fused kernels' n <= 65536 window the flat merged-psi path is
+    pathological — its per-stage tables are O(n log n) host-built bigints
+    (~160 MB embedded at n = 2^20) — while the four-step factorization
+    (sharded.FourStepPlan, the same plan the distributed path shards) needs
+    only the O(n) mid/twist matrices plus two tiny sub-transform plans.
+    This is the TPU answer to the reference's scale ceiling: the RTL tops
+    out at N=4096 by BRAM budget (SURVEY §2.5) and defers multi-level
+    decomposition to future work (reports/final-report.tex:1811); here one
+    chip runs n = 2^20 by reshaping the coefficient vector to (n1, n2) and
+    riding the MXU-friendly batched sub-transforms.
+
+    Spectrum layout is the four-step transform-domain order
+    (FourStepPlan.spectrum_indices) — self-consistent across fwd/inv/
+    spectrum/cached, per the module docstring's layout contract.
+    """
+    from . import sharded as _sh
+
+    n1, n2 = _sh.default_split(p.n)
+    fs = _sh.FourStepPlan(p, n1, n2)
+    ring = fs.ring
+    split = ring.nlimbs == 2
+    tmap = _sh._tmap
+
+    def _mat(x):
+        return tmap(lambda a: a.reshape(a.shape[:-1] + (n1, n2)), x)
+
+    def _flat(x):
+        return tmap(lambda a: a.reshape(a.shape[:-2] + (p.n,)), x)
+
+    def fwd(x):
+        return _flat(_sh.fourstep_fwd_local(fs, _mat(x)))
+
+    def inv(x):
+        return _flat(_sh.fourstep_inv_local(fs, _mat(x)))
+
+    def nwc(a, b):
+        return _flat(_sh.fourstep_nwc_poly_mult_local(fs, _mat(a), _mat(b)))
+
+    def cyclic(a, b):
+        fa = _sh.fourstep_fwd_local(fs, _mat(a))
+        fb = _sh.fourstep_fwd_local(fs, _mat(b))
+        return _flat(_sh.fourstep_inv_local(fs, ring.mul(fa, fb)))
+
+    def nwc_fwd(x):
+        return _flat(
+            _sh.fourstep_fwd_local(fs, ring.mul_tw(_mat(x), fs.twist_tw))
+        )
+
+    def cached(a, s):
+        fa = _sh.fourstep_fwd_local(fs, ring.mul_tw(_mat(a), fs.twist_tw))
+        c = _sh.fourstep_inv_local(fs, ring.mul(fa, _mat(s)))
+        return _flat(ring.mul_tw(c, fs.untwist_tw))
+
+    ops = {
+        "nwc": _wrap(nwc, 2, split),
+        "cyclic": _wrap(cyclic, 2, split),
+        "fwd": _wrap(fwd, 1, split),
+        "inv": _wrap(inv, 1, split),
+        "nwc_fwd": _wrap(nwc_fwd, 1, split),
+        "spectrum": _wrap(nwc_fwd, 1, split),
+        "cached": _wrap(cached, 2, split),
+    }
+    return ("xla-fourstep-64" if split else "xla-fourstep"), ops, split
+
+
 @functools.lru_cache(maxsize=None)
 def _backend(p: NttParams):
     """(name, {op: callable}, takes_pairs) — the single policy table."""
+    if p.n > _FOURSTEP_MIN_N:
+        return _fourstep_backend(p)
+
     if _KERNEL_N_OK(p) and p.width <= 24:
         from .kernels.mxu import MxuPlan
 
