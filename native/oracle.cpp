@@ -9,7 +9,9 @@
 // cocotb golden models) — all math here is written directly from the
 // published algorithm definitions.
 //
-// All values are < 2^62, so a*b fits unsigned __int128 exactly.
+// Valid for any modulus q < 2^64 (including the Goldilocks prime
+// 2^64 - 2^32 + 1): products ride unsigned __int128 and the modular
+// add/sub helpers are wrap-aware, so q > 2^63 cannot overflow u64 sums.
 
 #include <cstdint>
 #include <cstring>
@@ -19,6 +21,18 @@ using u64 = std::uint64_t;
 using u128 = unsigned __int128;
 
 static inline u64 mulmod(u64 a, u64 b, u64 q) { return (u128)a * b % q; }
+
+// a + b mod q for a, b < q < 2^64: on u64 wrap, s - q re-adds the lost
+// 2^64 (mod-2^64 arithmetic), so one subtract covers both cases.
+static inline u64 addmod(u64 a, u64 b, u64 q) {
+  u64 s = a + b;
+  if (s < a || s >= q) s -= q;
+  return s;
+}
+
+static inline u64 submod(u64 a, u64 b, u64 q) {
+  return a >= b ? a - b : a + (q - b);
+}
 
 static u64 powmod(u64 b, u64 e, u64 q) {
   u64 r = 1;
@@ -42,11 +56,9 @@ void nwc_schoolbook(const u64* a, const u64* b, u64* out, u64 n, u64 q) {
       u64 t = mulmod(a[i], b[j], q);
       u64 k = i + j;
       if (k < n) {
-        acc[k] += t;
-        if (acc[k] >= q) acc[k] -= q;
+        acc[k] = addmod(acc[k], t, q);
       } else {
-        u64 kk = k - n;
-        acc[kk] = acc[kk] >= t ? acc[kk] - t : acc[kk] + q - t;
+        acc[k - n] = submod(acc[k - n], t, q);
       }
     }
   }
@@ -60,9 +72,7 @@ void cyclic_schoolbook(const u64* a, const u64* b, u64* out, u64 n, u64 q) {
     if (!a[i]) continue;
     for (u64 j = 0; j < n; ++j) {
       u64 t = mulmod(a[i], b[j], q);
-      u64 k = (i + j) % n;
-      acc[k] += t;
-      if (acc[k] >= q) acc[k] -= q;
+      acc[(i + j) % n] = addmod(acc[(i + j) % n], t, q);
     }
   }
   std::memcpy(out, acc.data(), n * sizeof(u64));
@@ -79,10 +89,8 @@ void dft_direct(const u64* x, u64* out, u64 n, u64 q, u64 omega) {
   }
   for (u64 k = 0; k < n; ++k) {
     u64 s = 0;
-    for (u64 i = 0; i < n; ++i) {
-      s += mulmod(x[i], wpow[(i * k) % n], q);
-      if (s >= q) s -= q;
-    }
+    for (u64 i = 0; i < n; ++i)
+      s = addmod(s, mulmod(x[i], wpow[(i * k) % n], q), q);
     out[k] = s;
   }
 }
@@ -120,8 +128,8 @@ void nwc_fast(const u64* a_in, const u64* b_in, u64* out, u64 n, u64 q,
         for (u64 j = 0; j < m; ++j) {
           u64 t = mulmod(w2, x[k + j + m], q);
           u64 u = x[k + j];
-          x[k + j] = u + t >= q ? u + t - q : u + t;
-          x[k + j + m] = u >= t ? u - t : u + q - t;
+          x[k + j] = addmod(u, t, q);
+          x[k + j + m] = submod(u, t, q);
           w2 = mulmod(w2, wm, q);
         }
       }

@@ -129,6 +129,24 @@ def test_native_dft_matches_cg_ntt(rng):
 
 
 @needs_native
+def test_native_goldilocks_q_above_2_63(rng):
+    """Regression: the oracle's modular add/sub must be wrap-aware —
+    for q > 2^63 (the Goldilocks prime) a u64 ``a + b`` overflows, which
+    silently corrupted nwc_fast/schoolbook results before the fix."""
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+    from tpu_ntt.params import make_params
+
+    q = GOLDILOCKS_Q
+    p = make_params(256, q)
+    a = [rng.randrange(q) for _ in range(p.n)]
+    b = [q - 1] * p.n  # maximal operands exercise the wrap everywhere
+    a[:3] = [0, 1, q - 1]
+    want = reference.nwc_poly_mult(a, b, p)
+    assert native.nwc_fast(a, b, q, p.psi) == want
+    assert native.nwc_schoolbook(a, b, q) == want
+
+
+@needs_native
 def test_native_fast_60bit_full_size(rng):
     """Full 4096-point 60-bit check: native fast NTT vs the python golden —
     feasible only because the oracle is native."""
