@@ -18,16 +18,22 @@ def test_impl_selection():
     assert dispatch.impl_name(P60_4096) == "pallas-mxu64"
     # power-of-two n below 256 can't use the kernel
     assert dispatch.impl_name(make_params(128, 8380417)) == "xla-merged"
-    # 31-bit modulus: no kernel (width > 24, < 2^25 REDC bound is moot —
-    # mxu64 handles it), so the policy picks the double-word kernel when n
-    # fits and the XLA double-word path otherwise
+    # 31-bit modulus: double-word ring territory — the kernel when n fits,
+    # the XLA double-word path otherwise
     assert dispatch.impl_name(make_params(16, 1073741857)) == "xla-merged-64"
+    # 2013265921 = 15 * 2^27 + 1 (width 31): smallest double-word-ring width
+    assert dispatch.impl_name(make_params(4096, 2013265921)) == \
+        "pallas-mxu64"
     # every op routes to the same backend for a given params
     for op in dispatch.OPS:
         assert dispatch.impl_name(DILITHIUM_256, op) == "pallas-mxu"
-    # beyond the single-word kernel's 16384 cap, the multi-tile
-    # double-word kernel takes over (any width <= 62, incl. 24-bit q)
-    assert dispatch.impl_name(make_params(32768, 16580609)) == "pallas-mxu64"
+    # single-word-ring widths outside the one-tile int8 window go to the
+    # XLA merged path — measured ~2.1x faster than the double-word kernel
+    # wherever Ring32 exists (BENCH_NOTES.md round-2 width-band A/B)
+    assert dispatch.impl_name(make_params(4096, 998244353)) == "xla-merged"
+    assert dispatch.impl_name(make_params(32768, 16580609)) == "xla-merged"
+    # beyond the single-word ring (width 31..62) the multi-tile double-word
+    # kernel takes over up to n = 65536
     assert (dispatch.impl_name(make_params(32768, 576460752308273153))
             == "pallas-mxu64")
     # the Goldilocks prime (width 64) gets its phi-fold kernel inside the
@@ -127,21 +133,31 @@ def test_all_ops_consistent_single_word(p, rng):
     got_plain = np.asarray(dispatch.best_nwc_poly_mult(p)(a, b))
     assert (got_cached == got_plain).all()
 
-    # the benchmarked forward is a twisted transform: its inverse-composed
-    # round trip is NOT identity, but it must be deterministic and match
-    # the spectrum entry point's layout family (checked via plain product)
+    # the twisted transform pair composes to identity: nwc_inv consumes
+    # exactly nwc_fwd's layout (untwist + n^-1 folded)
     fwd = np.asarray(dispatch.best_nwc_ntt_fwd(p)(a))
     assert fwd.shape == a.shape
+    rt_nwc = np.asarray(dispatch.best_nwc_ntt_inv(p)(fwd))
+    assert (rt_nwc == a).all()
 
 
 def test_impl_selection_large_n_fourstep():
     """Above the kernel window (n > 65536) the policy picks the single-chip
     four-step decomposition — the flat merged path's O(n log n) tables are
-    pathological at this scale (dispatch module docstring)."""
+    pathological at this scale (dispatch module docstring).  Sub-transforms
+    follow plan_for: Pallas-kernel locals where they win (width <= 24,
+    31..62, Goldilocks), XLA no-gather locals for the single-word-ring
+    widths 25..30 where the XLA form is 2.4x faster on chip."""
     assert dispatch.impl_name(make_params(1 << 17, 998244353)) == \
         "xla-fourstep"
+    assert dispatch.impl_name(make_params(1 << 17, 786433)) == \
+        "kernel-fourstep"
     assert dispatch.impl_name(make_params(1 << 17, 576460752364240897)) == \
-        "xla-fourstep-64"
+        "kernel-fourstep-64"
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
+    assert dispatch.impl_name(make_params(1 << 17, GOLDILOCKS_Q)) == \
+        "kernel-fourstep-64"
 
 
 def test_dispatch_fourstep_large_n_vs_oracle(rng):
@@ -170,6 +186,31 @@ def test_dispatch_fourstep_large_n_vs_oracle(rng):
     spec = dispatch.best_nwc_spectrum(p)(b)
     got_cached = np.asarray(dispatch.best_nwc_poly_mult_cached(p)(a, spec))
     assert (got_cached == got).all()
+
+
+def test_dispatch_kernel_fourstep_single_word(rng):
+    """n = 2^17 with a width-20 prime: dispatch routes to kernel-fourstep
+    (MxuPlan int8 locals, measured 1.6x over the XLA locals on chip);
+    product vs the native oracle + nwc staged-pair roundtrip."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 786433
+    p = make_params(1 << 17, q)
+    assert dispatch.impl_name(p) == "kernel-fourstep"
+    nrng = np.random.default_rng(44)
+    a = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64).astype(np.uint32)
+    b = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(dispatch.best_nwc_poly_mult(p)(a, b))
+    want = native.nwc_fast(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], q, p.psi
+    )
+    assert [int(v) for v in got[0]] == want
+    rt = np.asarray(
+        dispatch.best_nwc_ntt_inv(p)(dispatch.best_nwc_ntt_fwd(p)(a))
+    )
+    assert (rt == a).all()
 
 
 def test_dispatch_fourstep_large_n_double_word(rng):
@@ -217,3 +258,9 @@ def test_all_ops_consistent_double_word(rng):
     phi, plo = dispatch.best_nwc_poly_mult(p)(a, b)
     assert (np.asarray(chi) == np.asarray(phi)).all()
     assert (np.asarray(clo) == np.asarray(plo)).all()
+
+    hi, lo = dispatch.best_nwc_ntt_inv(p)(dispatch.best_nwc_ntt_fwd(p)(a))
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    assert (got == a).all()

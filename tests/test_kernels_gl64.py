@@ -107,6 +107,29 @@ def test_nwc_fwd_gl_matches_twisted_ntt(rng):
     assert [int(out[perm[j]]) for j in range(p.n)] == nat
 
 
+def test_nwc_inv_gl_staged_spectrum_product(rng):
+    """Staged-spectrum API (Goldilocks): fwd both operands, pointwise
+    multiply host-side with big ints, nwc_ntt_inv back — equals the golden
+    product; boundary roundtrip included."""
+    p = GL_SMALL
+    mp = make_plan(p)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    sa = dec(*mp.nwc_ntt_fwd(enc([a]), interpret=True))[0]
+    sb = dec(*mp.nwc_ntt_fwd(enc([b]), interpret=True))[0]
+    prod = [int(x) * int(y) % p.q for x, y in zip(sa, sb)]
+    got = dec(*mp.nwc_ntt_inv(enc([prod]), interpret=True))
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got[0]] == want
+
+    edge = [[0, 1, p.q - 1, 1 << 32, 1 << 63] + [0] * (p.n - 5),
+            [p.q - 1] * p.n]
+    rt = dec(*mp.nwc_ntt_inv(
+        mp.nwc_ntt_fwd(enc(edge), interpret=True), interpret=True
+    ))
+    assert [[int(v) for v in row] for row in rt] == edge
+
+
 def test_cached_spectrum_product_gl(rng):
     p = GL_SMALL
     mp = make_plan(p)

@@ -126,6 +126,31 @@ def test_nwc_fwd_kernel_matches_twisted_ntt(rng):
     assert [int(out[perm[j]]) for j in range(p.n)] == nat
 
 
+def test_nwc_inv_kernel_staged_spectrum_product(rng):
+    """Staged-spectrum API: nwc_ntt_fwd both operands, pointwise multiply
+    host-side (independent big-int), nwc_ntt_inv back — equals the golden
+    negacyclic product; plus a boundary-operand roundtrip."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    sa = np.asarray(
+        mp.nwc_ntt_fwd(np.array([a], dtype=np.uint32), interpret=True)
+    ).astype(object)
+    sb = np.asarray(
+        mp.nwc_ntt_fwd(np.array([b], dtype=np.uint32), interpret=True)
+    ).astype(object)
+    prod = ((sa * sb) % p.q).astype(np.uint32)
+    got = np.asarray(mp.nwc_ntt_inv(prod, interpret=True))
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got[0]] == want
+
+    edge = np.array([[0, 1, p.q - 1] + [0] * (p.n - 3),
+                     [p.q - 1] * p.n], dtype=np.uint32)
+    rt = mp.nwc_ntt_inv(mp.nwc_ntt_fwd(edge, interpret=True), interpret=True)
+    assert (np.asarray(rt) == edge).all()
+
+
 def test_largest_kernel_n_16384(rng):
     """n = 16384 (n1 = 128, t = 1: the full-dense-W1 edge case) with a
     24-bit prime of 2-adicity 15 (q = 506*32768 + 1), checked against the

@@ -110,6 +110,29 @@ def test_nwc_fwd64_kernel_matches_twisted_ntt(rng):
     assert [int(out[perm[j]]) for j in range(p.n)] == nat
 
 
+def test_nwc_inv64_staged_spectrum_product(rng):
+    """Staged-spectrum API (double-word): fwd both operands, pointwise
+    multiply host-side with big ints, nwc_ntt_inv back — equals the golden
+    product; boundary roundtrip included."""
+    p = P60_SMALL
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    sa = dec(*mp.nwc_ntt_fwd(enc([a]), interpret=True))[0]
+    sb = dec(*mp.nwc_ntt_fwd(enc([b]), interpret=True))[0]
+    prod = [int(x) * int(y) % p.q for x, y in zip(sa, sb)]
+    got = dec(*mp.nwc_ntt_inv(enc([prod]), interpret=True))
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got[0]] == want
+
+    edge = [[0, 1, p.q - 1] + [0] * (p.n - 3), [p.q - 1] * p.n]
+    rt = dec(*mp.nwc_ntt_inv(
+        mp.nwc_ntt_fwd(enc(edge), interpret=True), interpret=True
+    ))
+    assert [[int(v) for v in row] for row in rt] == edge
+
+
 def test_cached_spectrum_product_64(rng):
     p = P60_SMALL
     mp = MxuPlan64(p)

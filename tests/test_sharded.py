@@ -262,6 +262,122 @@ def test_config5_n_two_pow_20_nwc_product(rng=random.Random(20)):
     assert [int(v) for v in got] == want
 
 
+def test_kernel_fourstep_nwc_product_vs_native(rng=random.Random(40)):
+    """Kernel-locals four-step (sharded.KernelFourStep): the large-N
+    single-chip production path dispatch routes n > 65536 to.  n = 2^16
+    (col 256 x row 256, both MxuPlan-covered) product vs the independent
+    native O(n log n) oracle, plus nwc and cyclic roundtrips."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 786433  # 3 * 2^18 + 1: 2-adicity 18 supports 2n = 2^17
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    nrng = np.random.default_rng(40)
+    a = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    b = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    a[:3] = [0, 1, q - 1]  # boundary operands
+    ea, eb = fs.encode([a]), fs.encode([b])
+    got = fs.decode(sharded.fourstep_nwc_poly_mult_kernel(fs, ea, eb))
+    assert [int(v) for v in got[0]] == native.nwc_fast(a, b, q, p.psi)
+    # cyclic fwd/inv roundtrip (the nwc pair is exercised by the product)
+    rt = fs.decode(sharded.fourstep_inv_kernel(
+        fs, sharded.fourstep_fwd_kernel(fs, ea)))
+    assert [int(v) for v in rt[0]] == a
+
+
+def test_kernel_fourstep_goldilocks_vs_native(rng=random.Random(41)):
+    """Width-64 Goldilocks through the kernel-locals four-step (col/row =
+    GoldilocksPlan64): the large-N fast path is not capped at the generic
+    kernel's q < 2^62.  Oracle: native nwc_fast (wrap-aware add/sub, valid
+    for q up to 2^64)."""
+    from tpu_ntt import native
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = GOLDILOCKS_Q
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    nrng = np.random.default_rng(41)
+    a = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    b = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    a[:3] = [0, 1, q - 1]
+    got = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, fs.encode([a]),
+                                              fs.encode([b]))
+    )
+    assert [int(v) for v in got[0]] == native.nwc_fast(a, b, q, p.psi)
+
+
+def test_sharded_kernel_locals_nwc_vs_native(rng=random.Random(42)):
+    """Distributed four-step with fused-kernel locals: passing a
+    KernelFourStep to ShardedNtt runs the column/row passes AS the Pallas
+    kernels inside shard_map (one all-to-all per transform, twist folded,
+    zero elementwise twist passes).  8-device mesh, n = 2^16, vs the native
+    oracle; forward must equal the local kernel four-step bit-for-bit."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 786433
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    assert sn.kernel_locals
+    nrng = np.random.default_rng(42)
+    a = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    b = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    a[:3] = [0, 1, q - 1]
+    ea, eb = fs.encode(a), fs.encode(b)
+    got = fs.decode(sn.nwc_poly_mult(sn.put_natural(ea, batched=False),
+                                     sn.put_natural(eb, batched=False),
+                                     batched=False))
+    assert [int(v) for v in got] == native.nwc_fast(a, b, q, p.psi)
+    f_sh = fs.decode(sn.ntt_fwd(sn.put_natural(ea, batched=False),
+                                batched=False))
+    f_lo = fs.decode(sharded.fourstep_fwd_kernel(fs, ea))
+    assert [int(v) for v in f_sh] == [int(v) for v in f_lo]
+
+
+def test_sharded_kernel_locals_goldilocks_2d_mesh(rng=random.Random(43)):
+    """Width-64 Goldilocks through the distributed kernel-locals path on a
+    2x4 batch x coeff mesh (gl64 col/row kernels + pairs all-to-all)."""
+    from tpu_ntt import native
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = GOLDILOCKS_Q
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    mesh = make_mesh((2, 4), ("batch", "coeff"))
+    sn = sharded.ShardedNtt(fs, mesh, batch_axis="batch")
+    nrng = np.random.default_rng(43)
+    pa = [[int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+          for _ in range(2)]
+    pb = [[int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+          for _ in range(2)]
+    a = sn.put_natural(fs.encode(np.array(pa, dtype=object)))
+    b = sn.put_natural(fs.encode(np.array(pb, dtype=object)))
+    got = fs.decode(sn.nwc_poly_mult(a, b))
+    for i in range(2):
+        assert [int(v) for v in got[i]] == native.nwc_fast(
+            pa[i], pb[i], q, p.psi)
+
+
+def test_kernel_fourstep_rejects_uncovered_width():
+    """No fused-kernel coverage for a sub-transform -> ValueError (the
+    dispatch layer then falls back to the XLA no-gather locals).  Width
+    25..30 is the real uncovered band: plan_for measured the single-word
+    XLA path 2.1x faster there, so it declines."""
+    p = make_params(1 << 16, 998244353)  # width 30
+    with pytest.raises(ValueError, match="kernel coverage"):
+        sharded.KernelFourStep(p, 256, 256, interpret=True)
+
+
 def test_batch_pjit_data_parallel(rng=random.Random(15)):
     plan = NttPlan(DILITHIUM_256)
     mesh = make_mesh((8,), ("batch",))

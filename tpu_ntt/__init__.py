@@ -39,6 +39,7 @@ from .ntt import (  # noqa: F401
 )
 from .sharded import (  # noqa: F401
     FourStepPlan,
+    KernelFourStep,
     ShardedNtt,
     default_split,
 )

@@ -10,20 +10,29 @@ exactly one copy of it.
     mult = tpu_ntt.dispatch.best_nwc_poly_mult(params)
     out = mult(a, b)        # (B, n) uint arrays in, same out
 
-Selection policy (measured on TPU v5e; CLAUDE.md performance ledger and
-docs/DESIGN.md §2):
+Selection policy (measured on TPU v5e; CLAUDE.md performance ledger,
+docs/DESIGN.md §2 and the BENCH_NOTES.md round-2 width-band A/B; the
+kernel-eligibility half lives in kernels.plan_for):
   * q < 2^24, 256 <= n <= 16384, n % 128 == 0  ->  fused int8-MXU Pallas
     kernel (kernels/mxu.py), every operation.
   * q = 2^64 - 2^32 + 1 with 256 <= n <= 65536  ->  Goldilocks phi-fold
     int8-MXU kernel (kernels/gl64.py) — the special form is the only
     fused path above the generic kernel's q < 2^62 ceiling.
-  * 2^24 <= q < 2^62 with 256 <= n <= 65536     ->  double-word int8-MXU
+  * 2^30 < q < 2^62 with 256 <= n <= 65536      ->  double-word int8-MXU
     kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
-    XLA path it stays flat in throughput as batch grows).  24-bit moduli
-    at 16384 < n <= 65536 also take this path (multi-tile left matmuls).
+    XLA path it stays flat in throughput as batch grows).
+  * 2^24 <= q <= 2^30 (any n), and q < 2^24 at 16384 < n <= 65536  ->
+    XLA merged-psi single-word (Ring32 + Shoup): measured ~2.1x FASTER
+    than the double-word kernel wherever the single-word ring exists
+    (974k vs 469k nwc/s at n=4096 B=2048).
   * n > 65536 (any q)                           ->  single-chip four-step
-    decomposition (sharded.FourStepPlan locals) — O(n) tables instead of
-    the flat path's O(n log n); demonstrated to n = 2^20 on one chip.
+    decomposition — O(n) tables instead of the flat path's O(n log n);
+    demonstrated to n = 2^20 on one chip.  Local sub-transforms follow the
+    same plan_for policy: fused Pallas kernels where they win
+    (sharded.KernelFourStep, "kernel-fourstep[-64]": width <= 24 and
+    31..62 and Goldilocks — 1.6-2.2x over XLA locals on chip), else the
+    XLA no-gather network ("xla-fourstep[-64]": width 25..30, where XLA
+    locals win 2.4x).
   * otherwise                                   ->  XLA merged-psi + Shoup
     (ntt.py), single- or double-word by q (Goldilocks gets its dedicated
     XLA ring outside the kernel n-window).
@@ -48,7 +57,6 @@ import jax
 import numpy as np
 
 from . import ntt as _ntt
-from .modmath import GOLDILOCKS_Q as _GOLDILOCKS_Q
 from .ntt import NttPlan
 from .params import NttParams
 
@@ -59,14 +67,11 @@ OPS = (
     "fwd",        # cyclic forward NTT
     "inv",        # cyclic inverse NTT (consumes fwd's layout)
     "nwc_fwd",    # psi-twist + forward NTT (the benchmarked forward)
+    "nwc_inv",    # inverse + untwist + n^-1 (consumes nwc_fwd's layout)
     "spectrum",   # cacheable NWC operand spectrum
     "cached",     # product against a cached spectrum
 )
 
-#: n window for the single-word kernel (one (128,128) tile per group)
-_KERNEL_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 16384
-#: n window for the double-word kernel (multi-tile left matmuls above 16384)
-_KERNEL64_N_OK = lambda p: p.n % 128 == 0 and 256 <= p.n <= 65536
 #: above this n the local four-step path replaces the flat formulations
 _FOURSTEP_MIN_N = 65536
 
@@ -105,15 +110,27 @@ def _fourstep_backend(p: NttParams):
     chip runs n = 2^20 by reshaping the coefficient vector to (n1, n2) and
     riding the MXU-friendly batched sub-transforms.
 
-    Spectrum layout is the four-step transform-domain order
-    (FourStepPlan.spectrum_indices) — self-consistent across fwd/inv/
-    spectrum/cached, per the module docstring's layout contract.
+    When BOTH sub-transforms have fused-kernel coverage (kernels.plan_for)
+    the local passes are the Pallas kernels themselves
+    (sharded.KernelFourStep — "kernel-fourstep[-64]"), with the outer
+    psi-twist folded into the column kernel and mid table exactly like the
+    flat kernels fold theirs; otherwise the XLA no-gather locals run
+    ("xla-fourstep[-64]", e.g. non-Goldilocks q >= 2^62).
+
+    Spectrum layout is the selected backend's transform-domain order —
+    self-consistent across fwd/inv/spectrum/cached, per the module
+    docstring's layout contract.
     """
     from . import sharded as _sh
 
     n1, n2 = _sh.default_split(p.n)
-    fs = _sh.FourStepPlan(p, n1, n2)
-    ring = fs.ring
+    interp = jax.devices()[0].platform != "tpu"
+    try:
+        fs = _sh.KernelFourStep(p, n1, n2, interpret=interp)
+    except ValueError:
+        fs = None
+    ring_fs = fs if fs is not None else _sh.FourStepPlan(p, n1, n2)
+    ring = ring_fs.ring
     split = ring.nlimbs == 2
     tmap = _sh._tmap
 
@@ -123,29 +140,72 @@ def _fourstep_backend(p: NttParams):
     def _flat(x):
         return tmap(lambda a: a.reshape(a.shape[:-2] + (p.n,)), x)
 
-    def fwd(x):
-        return _flat(_sh.fourstep_fwd_local(fs, _mat(x)))
+    if fs is not None:
+        def fwd(x):
+            return _flat(_sh.fourstep_fwd_kernel(fs, _mat(x)))
 
-    def inv(x):
-        return _flat(_sh.fourstep_inv_local(fs, _mat(x)))
+        def inv(x):
+            return _flat(_sh.fourstep_inv_kernel(fs, _mat(x)))
 
-    def nwc(a, b):
-        return _flat(_sh.fourstep_nwc_poly_mult_local(fs, _mat(a), _mat(b)))
+        def nwc(a, b):
+            return _flat(
+                _sh.fourstep_nwc_poly_mult_kernel(fs, _mat(a), _mat(b))
+            )
 
-    def cyclic(a, b):
-        fa = _sh.fourstep_fwd_local(fs, _mat(a))
-        fb = _sh.fourstep_fwd_local(fs, _mat(b))
-        return _flat(_sh.fourstep_inv_local(fs, ring.mul(fa, fb)))
+        def cyclic(a, b):
+            fa = _sh.fourstep_fwd_kernel(fs, _mat(a))
+            fb = _sh.fourstep_fwd_kernel(fs, _mat(b))
+            return _flat(_sh.fourstep_inv_kernel(fs, ring.mul(fa, fb)))
 
-    def nwc_fwd(x):
-        return _flat(
-            _sh.fourstep_fwd_local(fs, ring.mul_tw(_mat(x), fs.twist_tw))
-        )
+        def nwc_fwd(x):
+            return _flat(_sh.fourstep_fwd_kernel(fs, _mat(x), nwc=True))
 
-    def cached(a, s):
-        fa = _sh.fourstep_fwd_local(fs, ring.mul_tw(_mat(a), fs.twist_tw))
-        c = _sh.fourstep_inv_local(fs, ring.mul(fa, _mat(s)))
-        return _flat(ring.mul_tw(c, fs.untwist_tw))
+        def nwc_inv(x):
+            return _flat(_sh.fourstep_inv_kernel(fs, _mat(x), nwc=True))
+
+        def cached(a, s):
+            fa = _sh.fourstep_fwd_kernel(fs, _mat(a), nwc=True)
+            return _flat(
+                _sh.fourstep_inv_kernel(fs, ring.mul(fa, _mat(s)), nwc=True)
+            )
+
+        name = "kernel-fourstep-64" if split else "kernel-fourstep"
+    else:
+        fsx = ring_fs
+
+        def fwd(x):
+            return _flat(_sh.fourstep_fwd_local(fsx, _mat(x)))
+
+        def inv(x):
+            return _flat(_sh.fourstep_inv_local(fsx, _mat(x)))
+
+        def nwc(a, b):
+            return _flat(
+                _sh.fourstep_nwc_poly_mult_local(fsx, _mat(a), _mat(b))
+            )
+
+        def cyclic(a, b):
+            fa = _sh.fourstep_fwd_local(fsx, _mat(a))
+            fb = _sh.fourstep_fwd_local(fsx, _mat(b))
+            return _flat(_sh.fourstep_inv_local(fsx, ring.mul(fa, fb)))
+
+        def nwc_fwd(x):
+            return _flat(
+                _sh.fourstep_fwd_local(fsx, ring.mul_tw(_mat(x),
+                                                        fsx.twist_tw))
+            )
+
+        def nwc_inv(x):
+            c = _sh.fourstep_inv_local(fsx, _mat(x))
+            return _flat(ring.mul_tw(c, fsx.untwist_tw))
+
+        def cached(a, s):
+            fa = _sh.fourstep_fwd_local(fsx, ring.mul_tw(_mat(a),
+                                                         fsx.twist_tw))
+            c = _sh.fourstep_inv_local(fsx, ring.mul(fa, _mat(s)))
+            return _flat(ring.mul_tw(c, fsx.untwist_tw))
+
+        name = "xla-fourstep-64" if split else "xla-fourstep"
 
     ops = {
         "nwc": _wrap(nwc, 2, split),
@@ -153,10 +213,11 @@ def _fourstep_backend(p: NttParams):
         "fwd": _wrap(fwd, 1, split),
         "inv": _wrap(inv, 1, split),
         "nwc_fwd": _wrap(nwc_fwd, 1, split),
+        "nwc_inv": _wrap(nwc_inv, 1, split),
         "spectrum": _wrap(nwc_fwd, 1, split),
         "cached": _wrap(cached, 2, split),
     }
-    return ("xla-fourstep-64" if split else "xla-fourstep"), ops, split
+    return name, ops, split
 
 
 @functools.lru_cache(maxsize=None)
@@ -165,74 +226,29 @@ def _backend(p: NttParams):
     if p.n > _FOURSTEP_MIN_N:
         return _fourstep_backend(p)
 
-    if _KERNEL_N_OK(p) and p.width <= 24:
-        from .kernels.mxu import MxuPlan
+    from . import kernels as _kernels
 
-        mp = MxuPlan(p)
+    mp = _kernels.plan_for(p)
+    if mp is not None:
         # Pallas compiles only on TPU; on CPU backends fall back to the
         # interpreter so the dispatch layer works everywhere.
         interp = jax.devices()[0].platform != "tpu"
+        pr = mp.pairs
         ops = {
-            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, False),
+            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, pr),
             "cyclic": _wrap(
-                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, False
+                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, pr
             ),
-            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, False),
-            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, False),
-            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, False),
-            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, False),
+            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, pr),
+            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, pr),
+            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, pr),
+            "nwc_inv": _wrap(lambda x: mp.nwc_ntt_inv(x, interp), 1, pr),
+            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, pr),
             "cached": _wrap(
-                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, False
+                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, pr
             ),
         }
-        return "pallas-mxu", ops, False
-
-    if _KERNEL64_N_OK(p) and p.q == _GOLDILOCKS_Q:
-        # width-64 special form: 9-digit phi-fold kernel (gl64.py) — the
-        # only fused path above the generic kernel's q < 2^62 ceiling
-        from .kernels.gl64 import GoldilocksPlan64
-
-        mp = GoldilocksPlan64(p)
-        interp = jax.devices()[0].platform != "tpu"
-        ops = {
-            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, True),
-            "cyclic": _wrap(
-                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, True
-            ),
-            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, True),
-            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, True),
-            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, True),
-            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, True),
-            "cached": _wrap(
-                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
-            ),
-        }
-        return "pallas-gl64", ops, True
-
-    if _KERNEL64_N_OK(p) and p.width <= 62 and not (
-        _KERNEL_N_OK(p) and p.width <= 24
-    ):
-        # q < 2^62 at any kernel-supported n — including 24-bit moduli at
-        # n > 16384, where the single-word kernel's one-tile group layout
-        # does not reach but the multi-tile double-word kernel does.
-        from .kernels.mxu64 import MxuPlan64
-
-        mp = MxuPlan64(p)
-        interp = jax.devices()[0].platform != "tpu"
-        ops = {
-            "nwc": _wrap(lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, True),
-            "cyclic": _wrap(
-                lambda a, b: mp.cyclic_poly_mult(a, b, interp), 2, True
-            ),
-            "fwd": _wrap(lambda x: mp.ntt_fwd(x, interp), 1, True),
-            "inv": _wrap(lambda x: mp.ntt_inv(x, interp), 1, True),
-            "nwc_fwd": _wrap(lambda x: mp.nwc_ntt_fwd(x, interp), 1, True),
-            "spectrum": _wrap(lambda x: mp.nwc_spectrum(x, interp), 1, True),
-            "cached": _wrap(
-                lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, True
-            ),
-        }
-        return "pallas-mxu64", ops, True
+        return mp.name, ops, pr
 
     plan = NttPlan(p)
     split = plan.ring.nlimbs == 2
@@ -250,6 +266,7 @@ def _backend(p: NttParams):
         "fwd": _wrap(lambda x: _ntt.ntt_fwd(plan, x), 1, split),
         "inv": _wrap(lambda x: _ntt.ntt_inv(plan, x), 1, split),
         "nwc_fwd": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
+        "nwc_inv": _wrap(lambda x: _ntt.nwc_inv_merged(plan, x), 1, split),
         "spectrum": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
         "cached": _wrap(cached, 2, split),
     }
@@ -288,6 +305,10 @@ def best_ntt_inv(p: NttParams):
 
 def best_nwc_ntt_fwd(p: NttParams):
     return best(p, "nwc_fwd")
+
+
+def best_nwc_ntt_inv(p: NttParams):
+    return best(p, "nwc_inv")
 
 
 def best_nwc_spectrum(p: NttParams):

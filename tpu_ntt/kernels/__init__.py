@@ -7,6 +7,43 @@ VPU.  Everything is validated bit-exact against the XLA path (tests) and the
 pure-Python golden models.
 """
 
+from __future__ import annotations
+
+from ..modmath import GOLDILOCKS_Q
+from ..params import NttParams
 from .gl64 import GoldilocksPlan64  # noqa: F401
 from .mxu import MxuPlan  # noqa: F401
 from .mxu64 import MxuPlan64  # noqa: F401
+
+
+def plan_for(p: NttParams):
+    """Fastest fused-kernel plan covering this parameter set, or ``None``
+    (``None`` = the XLA merged-psi path wins; dispatch falls through).
+
+    The single copy of the kernel-eligibility policy, consumed by the
+    dispatch layer and by the four-step kernel-locals path so the two can
+    never drift.  Measured on TPU v5e at the ledger batch sizes
+    (BENCH_NOTES.md round-2 width-band A/B):
+
+      * width <= 24 at one-tile sizes    -> single-word int8 kernel (mxu):
+        1.86M/s vs 0.98M/s XLA at n=4096 B=2048.
+      * Goldilocks prime, n <= 65536     -> 9-digit phi-fold kernel (gl64):
+        425k/s vs 137k/s XLA GoldilocksRing.
+      * 30 < width <= 62, n <= 65536     -> double-word int8 kernel (mxu64):
+        413k/s vs 125k/s XLA Ring64 (n=4096 B=2048).
+      * width 25..30 (any n) and width <= 24 above the one-tile cap -> NONE:
+        the single-word XLA merged path (Ring32, Shoup) beats the
+        double-word kernel ~2.1x wherever it exists (974k vs 469k at
+        n=4096 B=2048; 100k vs 48k at n=32768 B=256) — the kernel's
+        8-digit machinery is priced for 62-bit operands and cannot be
+        narrowed below int8 digits.
+    """
+    if p.n % 128 or p.n < 256:
+        return None
+    if p.width <= 24 and p.n <= 16384:
+        return MxuPlan(p)
+    if p.n <= 65536 and p.q == GOLDILOCKS_Q:
+        return GoldilocksPlan64(p)
+    if p.n <= 65536 and 30 < p.width <= 62:
+        return MxuPlan64(p)
+    return None

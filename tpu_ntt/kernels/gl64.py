@@ -59,6 +59,7 @@ _BIAS_TOTAL = sum(_BIAS << (16 * j) for j in range(4))
 class GoldilocksPlan64(MxuPlan64):
     """MxuPlan64 specialization for q = 2^64 - 2^32 + 1 (width 64)."""
 
+    name = "pallas-gl64"
     nlimbs = 9
     #: diag byte offsets reach 16 -> lanes through d[8]; the fold reads
     #: d[0..10] (zero-padded), so allocate 11.

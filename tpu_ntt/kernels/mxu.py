@@ -84,6 +84,10 @@ class MxuPlan:
     straight to int32).
     """
 
+    #: dispatch name and data layout (single uint32 arrays, not pairs)
+    name = "pallas-mxu"
+    pairs = False
+
     def __init__(self, p: NttParams, int8_path: bool = True):
         if p.width > 24:
             raise ValueError(
@@ -190,11 +194,14 @@ class MxuPlan:
                    lambda c: pow(psi128, c % n1, q) * r2_full % q, axis=1),
             left=True,
         )
-        self.w1i_nwc = make_w(
-            scaled(block_diag(dft_matrix(n1, w1i)),
-                   lambda rr: pow(psi128_inv, rr % n1, q), axis=0),
-            left=True,
-        )
+        w1i_nwc_mat = scaled(block_diag(dft_matrix(n1, w1i)),
+                             lambda rr: pow(psi128_inv, rr % n1, q), axis=0)
+        self.w1i_nwc = make_w(w1i_nwc_mat, left=True)
+        # Montgomery-scaled variant for the STANDALONE NWC inverse: inside
+        # the fused pipeline the plain w1i_nwc's REDC exits the Montgomery
+        # domain, but nwc_ntt_inv consumes nwc_ntt_fwd's PLAIN spectrum, so
+        # its exit matmul must be domain-neutral (REDC of x * (w*R) = x*w).
+        self.w1i_nwc_enter = make_w(to_mont(w1i_nwc_mat), left=True)
 
         # Elementwise tables, all (128, 128), tiled over the t polynomials
         # of a group.  mid[k1, m2] = omega^(+-k1*m2) in Montgomery form.
@@ -450,6 +457,20 @@ class MxuPlan:
             x = shoup_mul32(x, m_w, m_s, self.q)
             out_ref[g] = self._matmul_mont(x, w2x, left=False)
 
+    def _nwc_inv_kernel(self, x_ref, *refs):
+        """Untwist-folded inverse (the mirror of _nwc_fwd_kernel): plain NWC
+        spectrum in (four-step layout, as nwc_ntt_fwd emits), plain
+        natural-order coefficients out; psi^(-i)-untwist and n^-1 fold into
+        the tables — zero elementwise exit passes."""
+        w2i, refs = self._take_w(refs)
+        w1ip, refs = self._take_w(refs)
+        mi_w, mi_s = (r[...] for r in refs[:2])
+        out_ref = refs[2]
+        for g in range(x_ref.shape[0]):
+            c = self._matmul_mont(x_ref[g], w2i, left=False)
+            c = shoup_mul32(c, mi_w, mi_s, self.q)
+            out_ref[g] = self._matmul_mont(c, w1ip, left=True)
+
     def _fwd_kernel(self, x_ref, *refs):
         w1, refs = self._take_w(refs)
         w2, refs = self._take_w(refs)
@@ -606,6 +627,22 @@ class MxuPlan:
             self._nwc_fwd_kernel,
             (gx,),
             (*self.w1_nwc, *self.w2_exit, *self.mid_nwc),
+            interpret=interpret,
+        )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def nwc_ntt_inv(self, x, interpret: bool = False):
+        """Batched negacyclic inverse transform (untwist + n^-1 folded),
+        consuming nwc_ntt_fwd's plain-domain four-step-layout spectrum;
+        natural-order coefficients out.  Completes the staged-spectrum API:
+        users who keep NWC spectra (pointwise-multiply via modmath, e.g.
+        accumulating many products) return to coefficients with one kernel
+        (the reference's inverse+SCALE phases, rtl/ntt_inverse.v)."""
+        gx, bsz = self._group_batch(x)
+        out = self._call(
+            self._nwc_inv_kernel,
+            (gx,),
+            (*self.w2i, *self.w1i_nwc_enter, *self.mid_inv_nwc),
             interpret=interpret,
         )
         return out.reshape(-1, self.p.n)[:bsz]

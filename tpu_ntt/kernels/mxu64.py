@@ -100,6 +100,9 @@ class MxuPlan64:
     parameterization (SURVEY.md §5), and so does this kernel.
     """
 
+    #: dispatch name and data layout ((hi, lo) uint32 pairs)
+    name = "pallas-mxu64"
+    pairs = True
     #: balanced 8-bit digits per operand; subclasses widen (9 covers any
     #: v < 2^64, the Goldilocks operand range)
     nlimbs = NLIMBS
@@ -245,6 +248,16 @@ class MxuPlan64:
         )
         self.w1i_nwc = make_w(
             block_diag(row_scaled(dft_matrix(n1, w1i, r32),
+                                  lambda rr: pow(psi128_inv, rr, q))),
+            left=True,
+        )
+        # Domain-neutral (r96) variant of the untwist-folded inverse left
+        # matrix: the STANDALONE NWC inverse consumes nwc_ntt_fwd's PLAIN
+        # spectrum, so its exit matmul must not strip a Montgomery factor
+        # (w1i_nwc's r32 scale exists to exit the fused pipeline's
+        # Montgomery-64 domain).
+        self.w1i_nwc_plain = make_w(
+            block_diag(row_scaled(dft_matrix(n1, w1i, r96),
                                   lambda rr: pow(psi128_inv, rr, q))),
             left=True,
         )
@@ -726,6 +739,25 @@ class MxuPlan64:
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
+    def _nwc_inv_kernel(
+        self, x_hi, x_lo, w2i, w1ip,
+        midi_hi, midi_lo, midi_shi, midi_slo,
+        out_hi, out_lo,
+    ):
+        """Untwist-folded inverse (mirror of _nwc_fwd_kernel): plain NWC
+        spectrum in (four-step layout), plain natural-order out; the
+        psi^(-i) untwist and n^-1 ride the tables — zero elementwise
+        exit passes."""
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+        for g in range(x_hi.shape[0]):
+            x = self._matmul_mont((x_hi[g], x_lo[g]), w2i, left=False,
+                                  final=False)
+            x = self._shoup(x, midi_w, midi_ws)
+            r_hi, r_lo = self._matmul_mont(x, w1ip, left=True)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
         step = self.t * self._eff_gps(b)
@@ -867,6 +899,20 @@ class MxuPlan64:
             self._nwc_fwd_kernel,
             (gx_hi, gx_lo),
             (self.w1_nwc, self.w2_plain, *self.mid_nwc),
+            interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def nwc_ntt_inv(self, x, interpret: bool = False):
+        """Batched negacyclic inverse transform (untwist + n^-1 folded),
+        consuming nwc_ntt_fwd's plain-domain four-step-layout spectrum;
+        natural-order coefficients out (the reference's inverse+SCALE
+        phases, rtl/ntt_inverse.v, for users who stage NWC spectra)."""
+        gx_hi, gx_lo, bsz = self._group_batch(*x)
+        out = self._call(
+            self._nwc_inv_kernel,
+            (gx_hi, gx_lo),
+            (self.w2i, self.w1i_nwc_plain, *self.mid_inv_nwc),
             interpret,
         )
         return self._unflatten(out, bsz)

@@ -282,6 +282,147 @@ def fourstep_nwc_poly_mult_local(fs: FourStepPlan, a: Elem, b: Elem) -> Elem:
 
 
 # ---------------------------------------------------------------------------
+# Four-step with fused Pallas-kernel locals (large-N single-chip production)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class KernelFourStep(FourStepPlan):
+    """Four-step plan whose local sub-transforms are the fused int8-MXU
+    Pallas kernels (kernels.plan_for) instead of the XLA no-gather network.
+
+    TPU-first rationale: above the fused kernels' flat window (n <= 65536)
+    the sub-transforms ARE kernel-sized, so the large-N path should ride the
+    same speed-of-light kernels as the flat sizes.  The composition lifts
+    the kernels' own twist-folding factorization (mxu64.py w1_nwc/mid_nwc
+    derivation) one level up:
+
+      * column pass = col kernel's ``nwc_ntt_fwd`` along axis -2 — the
+        outer twist factor psi^(i1*n2) = psi1^i1 IS the col sub-plan's
+        negacyclic twist (psi1 = psi^n2), so it rides the left matmul;
+      * the outer mid table carries omega^(k1*i2) * psi^(i2) — the residual
+        twist factor is constant along each column, commutes with the
+        column contraction, and folds into the mid multiply.  Like the flat
+        kernels, the full product runs ZERO standalone twist/untwist
+        elementwise passes;
+      * row pass = row kernel's cyclic ``ntt_fwd`` along axis -1;
+      * each kernel emits its four-step output order; the col order is
+        absorbed by permuting the outer mid rows with
+        argsort(fourstep_to_natural_perm) at build time (the same trick as
+        mid_tw_br), and the row order is layout-internal (pointwise is
+        layout-agnostic, the inverse consumes it);
+      * inverse = exact mirror: row ``ntt_inv``, permuted inverse mid with
+        psi^(-i2), col ``nwc_ntt_inv`` (untwist + n1^-1 folded).  The
+        n^-1 = n1^-1 * n2^-1 scale is entirely inside the sub-kernels.
+
+    Raises ValueError when either sub-size/width has no kernel coverage
+    (the dispatch layer then falls back to the XLA locals).
+    """
+
+    #: run the kernels in Pallas interpret mode (CPU tests / non-TPU hosts)
+    interpret: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        from . import kernels as _kernels
+
+        self.col_k = _kernels.plan_for(self.col_plan.p)
+        self.row_k = _kernels.plan_for(self.row_plan.p)
+        if self.col_k is None or self.row_k is None:
+            raise ValueError(
+                f"no fused-kernel coverage for sub-transforms n1={self.n1}, "
+                f"n2={self.n2} at width {self.p.width}"
+            )
+        p, q = self.p, self.p.q
+        # position j1 of the col kernel's output holds sub-spectrum index
+        # pos_to_nat[j1]; permute the outer mid rows to match.
+        pos_to_nat1 = np.argsort(self.col_k.fourstep_to_natural_perm())
+
+        def mid(root, fold):
+            """(n1, n2) table root^(k1*i2) * fold^(i2), k1 = pos_to_nat1[j1]
+            — one geometric row per j1 (ratio root^k1 * fold)."""
+            m = np.empty((self.n1, self.n2), dtype=object)
+            for j1 in range(self.n1):
+                rho = pow(root, int(pos_to_nat1[j1]), q) * fold % q
+                cur = 1
+                for i2 in range(self.n2):
+                    m[j1, i2] = cur
+                    cur = cur * rho % q
+            return m
+
+        enc = lambda t: _tmap(
+            lambda a: a.reshape(self.n1, self.n2),
+            self.ring.encode_tw([int(v) for v in t.reshape(-1)]),
+        )
+        self.kmid = enc(mid(p.omega, 1))
+        self.kmid_inv = enc(mid(p.omega_inv, 1))
+        self.kmid_nwc = enc(mid(p.omega, p.psi))
+        self.kmid_inv_nwc = enc(mid(p.omega_inv, p.psi_inv))
+
+    def _apply(self, kplan, meth, x: Elem, axis_from_end: int) -> Elem:
+        """Run a kernel entry point (a last-axis (B, n_sub) transform) along
+        axis ``-axis_from_end`` of a (..., n1, n2) element, bridging the
+        single-word-ring <-> pairs-kernel layout gap (widths 25..30 use
+        Ring32 elements but the double-word kernel)."""
+        single = not isinstance(x, (tuple, list))
+        if single and kplan.pairs:
+            x = (jnp.zeros_like(x), x)
+
+        def to2d(a):
+            if axis_from_end == 2:
+                a = jnp.moveaxis(a, -2, -1)
+            return a.reshape(-1, a.shape[-1]), a.shape
+
+        if kplan.pairs:
+            hi, sh = to2d(x[0])
+            lo, _ = to2d(x[1])
+            out = meth((hi, lo), self.interpret)
+            res = tuple(o.reshape(sh) for o in out)
+        else:
+            a2, sh = to2d(x)
+            res = meth(a2, self.interpret).reshape(sh)
+        if axis_from_end == 2:
+            res = _tmap(lambda a: jnp.moveaxis(a, -1, -2), res)
+        if single and kplan.pairs:
+            res = res[1]  # outputs are < q < 2^31: hi word is zero
+        return res
+
+
+def fourstep_fwd_kernel(fs: KernelFourStep, x: Elem,
+                        nwc: bool = False) -> Elem:
+    """Kernel-locals forward four-step: natural (..., n1, n2) in, transform
+    layout out ([j1, j2] holds X[k2*n1 + k1] with k1/k2 in the col/row
+    kernels' four-step orders).  ``nwc=True`` folds the outer psi-twist
+    (col NWC forward + psi^(i2) in the mid table)."""
+    meth = fs.col_k.nwc_ntt_fwd if nwc else fs.col_k.ntt_fwd
+    x = fs._apply(fs.col_k, meth, x, 2)
+    tw = _tmap(jnp.asarray, fs.kmid_nwc if nwc else fs.kmid)
+    x = fs.ring.mul_tw(x, tw)
+    return fs._apply(fs.row_k, fs.row_k.ntt_fwd, x, 1)
+
+
+def fourstep_inv_kernel(fs: KernelFourStep, x: Elem,
+                        nwc: bool = False) -> Elem:
+    """Inverse of fourstep_fwd_kernel (back to natural layout); ``nwc=True``
+    folds the outer untwist (psi^(-i2) mid + col NWC inverse)."""
+    x = fs._apply(fs.row_k, fs.row_k.ntt_inv, x, 1)
+    tw = _tmap(jnp.asarray, fs.kmid_inv_nwc if nwc else fs.kmid_inv)
+    x = fs.ring.mul_tw(x, tw)
+    meth = fs.col_k.nwc_ntt_inv if nwc else fs.col_k.ntt_inv
+    return fs._apply(fs.col_k, meth, x, 2)
+
+
+def fourstep_nwc_poly_mult_kernel(fs: KernelFourStep, a: Elem,
+                                  b: Elem) -> Elem:
+    """Negacyclic product via kernel-locals four-step — the large-N
+    single-chip production path (dispatch routes n > 65536 here when the
+    sub-transforms have kernel coverage)."""
+    fa = fourstep_fwd_kernel(fs, a, nwc=True)
+    fb = fourstep_fwd_kernel(fs, b, nwc=True)
+    return fourstep_inv_kernel(fs, fs.ring.mul(fa, fb), nwc=True)
+
+
+# ---------------------------------------------------------------------------
 # Fused stage exchange: Pallas RDMA all-to-all (flag-guarded)
 # ---------------------------------------------------------------------------
 #
@@ -416,8 +557,12 @@ class ShardedNtt:
         axis **-2** sharded over ``coeff_axis``.
 
     One ``jax.lax.all_to_all`` per transform moves each device's
-    n/D-coefficient slice over ICI/DCN; everything else is local compute on
-    the single-chip constant-geometry network.
+    n/D-coefficient slice over ICI/DCN; everything else is local compute —
+    the XLA no-gather network for a plain ``FourStepPlan``, or the fused
+    Pallas kernels when ``fs`` is a ``KernelFourStep`` (the production
+    shape: kernel locals + one collective per transform, with the twist
+    folding and permuted mid tables shared with the single-chip
+    kernel-fourstep backend).
     """
 
     def __init__(
@@ -436,6 +581,12 @@ class ShardedNtt:
         #: kernel instead of jax.lax.all_to_all (see _a2a_pallas_leaf for
         #: why this is flag-guarded).
         self.fused_exchange = fused_exchange
+        #: passing a KernelFourStep plan runs the local sub-transforms AS
+        #: the fused Pallas kernels (same composition as the single-chip
+        #: kernel-fourstep dispatch backend: outer twist folded into the
+        #: column kernel + permuted mid tables, zero elementwise
+        #: twist/untwist passes even in the distributed product).
+        self.kernel_locals = isinstance(fs, KernelFourStep)
         self.d = mesh.shape[coeff_axis]
         if fs.n2 % self.d or fs.n1 % self.d:
             raise ValueError(
@@ -510,9 +661,37 @@ class ShardedNtt:
         x = ring.mul_tw(x, mid_tw_inv)
         return _along(2, lambda v: _ntt.ntt_inv_nogather(fs.col_plan, v), x)
 
+    def _fwd_body_kernel(self, x: Elem, mid: Elem, nwc: bool = False) -> Elem:
+        """Forward body with fused-kernel locals (fs is a KernelFourStep).
+
+        Same schedule as _fwd_body — col pass and mid multiply while n2 is
+        the sharded axis (mid is indexed by global n2), ONE all-to-all, row
+        pass local — but the passes are the Pallas kernels and the col
+        kernel's four-step output order is absorbed by the plan's permuted
+        kmid tables.  ``nwc=True`` folds the outer psi-twist (col NWC
+        forward + psi^(i2) in the mid), so the distributed product runs
+        zero standalone twist passes, like the flat kernels."""
+        fs = self.fs
+        meth = fs.col_k.nwc_ntt_fwd if nwc else fs.col_k.ntt_fwd
+        x = fs._apply(fs.col_k, meth, x, 2)
+        x = fs.ring.mul_tw(x, mid)
+        x = self._a2a(x, split_from_end=2, concat_from_end=1)
+        return fs._apply(fs.row_k, fs.row_k.ntt_fwd, x, 1)
+
+    def _inv_body_kernel(self, x: Elem, mid_inv: Elem,
+                         nwc: bool = False) -> Elem:
+        fs = self.fs
+        x = fs._apply(fs.row_k, fs.row_k.ntt_inv, x, 1)
+        x = self._a2a(x, split_from_end=1, concat_from_end=2)
+        x = fs.ring.mul_tw(x, mid_inv)
+        meth = fs.col_k.nwc_ntt_inv if nwc else fs.col_k.ntt_inv
+        return fs._apply(fs.col_k, meth, x, 2)
+
     def _shard_map(self, body, in_specs, out_specs):
         return jax.shard_map(
-            body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs
+            body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            # pallas_call does not annotate varying-mesh-axes metadata yet
+            **({"check_vma": False} if self.kernel_locals else {}),
         )
 
     def _jitted(self, name: str, batched: bool):
@@ -530,14 +709,32 @@ class ShardedNtt:
         sn = self.spec_natural(batched)
         sf = self.spec_fourstep(batched)
         ts = self.spec_natural(False)
+        kl = self.kernel_locals
+        fwd_body = self._fwd_body_kernel if kl else self._fwd_body
+        inv_body = self._inv_body_kernel if kl else self._inv_body
 
         if name == "fwd":
-            fn = self._shard_map(self._fwd_body, (sn, ts), sf)
-            tables = (_tmap(jnp.asarray, fs.mid_tw_br),)
+            fn = self._shard_map(fwd_body, (sn, ts), sf)
+            tables = (_tmap(jnp.asarray, fs.kmid if kl else fs.mid_tw_br),)
         elif name == "inv":
-            fn = self._shard_map(self._inv_body, (sf, ts), sn)
-            tables = (_tmap(jnp.asarray, fs.mid_tw_inv_br),)
-        else:  # nwc
+            fn = self._shard_map(inv_body, (sf, ts), sn)
+            tables = (
+                _tmap(jnp.asarray, fs.kmid_inv if kl else fs.mid_tw_inv_br),
+            )
+        elif kl:  # nwc, kernel locals: twist/untwist fold into col + mid
+
+            def body(a, b, mid, mid_inv):
+                fa = self._fwd_body_kernel(a, mid, nwc=True)
+                fb = self._fwd_body_kernel(b, mid, nwc=True)
+                return self._inv_body_kernel(ring.mul(fa, fb), mid_inv,
+                                             nwc=True)
+
+            fn = self._shard_map(body, (sn, sn, ts, ts), sn)
+            tables = tuple(
+                _tmap(jnp.asarray, t)
+                for t in (fs.kmid_nwc, fs.kmid_inv_nwc)
+            )
+        else:  # nwc, XLA locals
 
             def body(a, b, twist_tw, untwist_tw, mid, mid_inv):
                 at = ring.mul_tw(a, twist_tw)
