@@ -14,6 +14,8 @@ from tpu_ntt.params import make_params
 
 
 def test_impl_selection():
+    from tpu_ntt.modmath import GOLDILOCKS_Q
+
     assert dispatch.impl_name(DILITHIUM_256) == "pallas-mxu"
     assert dispatch.impl_name(P60_4096) == "pallas-mxu64"
     # power-of-two n below 256 can't use the kernel
@@ -33,13 +35,20 @@ def test_impl_selection():
     assert dispatch.impl_name(make_params(4096, 998244353)) == "xla-merged"
     assert dispatch.impl_name(make_params(32768, 16580609)) == "xla-merged"
     # beyond the single-word ring (width 31..62) the multi-tile double-word
-    # kernel takes over up to n = 65536
+    # kernel takes over up to n = 32768
     assert (dispatch.impl_name(make_params(32768, 576460752308273153))
             == "pallas-mxu64")
+    # n = 65536 double-word: the flat kernel exceeds scoped VMEM on v5e
+    # and the kernel-locals four-step beats flat XLA 3.8-3.9x, so the
+    # four-step window opens one size early for width > 30 (incl. GL)
+    assert (dispatch.impl_name(make_params(65536, 576460752308273153))
+            == "kernel-fourstep-64")
+    assert dispatch.impl_name(make_params(65536, GOLDILOCKS_Q)) == \
+        "kernel-fourstep-64"
+    # ...while single-word widths keep the flat XLA path at 65536
+    assert dispatch.impl_name(make_params(65536, 998244353)) == "xla-merged"
     # the Goldilocks prime (width 64) gets its phi-fold kernel inside the
     # kernel n-window and the dedicated XLA ring outside it
-    from tpu_ntt.modmath import GOLDILOCKS_Q
-
     assert dispatch.impl_name(make_params(256, GOLDILOCKS_Q)) == "pallas-gl64"
     assert (dispatch.impl_name(make_params(16, GOLDILOCKS_Q))
             == "xla-merged-64")

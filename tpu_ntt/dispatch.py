@@ -15,20 +15,23 @@ docs/DESIGN.md §2 and the BENCH_NOTES.md round-2 width-band A/B; the
 kernel-eligibility half lives in kernels.plan_for):
   * q < 2^24, 256 <= n <= 16384, n % 128 == 0  ->  fused int8-MXU Pallas
     kernel (kernels/mxu.py), every operation.
-  * q = 2^64 - 2^32 + 1 with 256 <= n <= 65536  ->  Goldilocks phi-fold
+  * q = 2^64 - 2^32 + 1 with 256 <= n <= 32768  ->  Goldilocks phi-fold
     int8-MXU kernel (kernels/gl64.py) — the special form is the only
     fused path above the generic kernel's q < 2^62 ceiling.
-  * 2^30 < q < 2^62 with 256 <= n <= 65536      ->  double-word int8-MXU
+  * 2^30 < q < 2^62 with 256 <= n <= 32768      ->  double-word int8-MXU
     kernel (kernels/mxu64.py), every operation (VMEM-resident: unlike the
     XLA path it stays flat in throughput as batch grows).
   * 2^24 <= q <= 2^30 (any n), and q < 2^24 at 16384 < n <= 65536  ->
     XLA merged-psi single-word (Ring32 + Shoup): measured ~2.1x FASTER
     than the double-word kernel wherever the single-word ring exists
     (974k vs 469k nwc/s at n=4096 B=2048).
-  * n > 65536 (any q)                           ->  single-chip four-step
-    decomposition — O(n) tables instead of the flat path's O(n log n);
-    demonstrated to n = 2^20 on one chip.  Local sub-transforms follow the
-    same plan_for policy: fused Pallas kernels where they win
+  * n > 65536 (any q), and n = 65536 for width > 30  ->  single-chip
+    four-step decomposition — O(n) tables instead of the flat path's
+    O(n log n); demonstrated to n = 2^20 on one chip.  (At n = 65536 the
+    flat double-word kernel cannot compile — its per-step temporaries
+    exceed the 16 MB scoped VMEM — and the kernel-locals four-step beats
+    the flat XLA path 3.8-3.9x.)  Local sub-transforms follow the same
+    plan_for policy: fused Pallas kernels where they win
     (sharded.KernelFourStep, "kernel-fourstep[-64]": width <= 24 and
     31..62 and Goldilocks — 1.6-2.2x over XLA locals on chip), else the
     XLA no-gather network ("xla-fourstep[-64]": width 25..30, where XLA
@@ -223,7 +226,11 @@ def _fourstep_backend(p: NttParams):
 @functools.lru_cache(maxsize=None)
 def _backend(p: NttParams):
     """(name, {op: callable}, takes_pairs) — the single policy table."""
-    if p.n > _FOURSTEP_MIN_N:
+    if p.n > _FOURSTEP_MIN_N or (p.n == _FOURSTEP_MIN_N and p.width > 30):
+        # n = 65536 double-word: the flat kernel cannot compile (scoped
+        # VMEM, see kernels.plan_for) and the kernel-locals four-step
+        # beats the flat XLA path 3.8-3.9x (BENCH_NOTES.md round 2), so
+        # the four-step window opens one size earlier for width > 30.
         return _fourstep_backend(p)
 
     from . import kernels as _kernels

@@ -27,9 +27,9 @@ def plan_for(p: NttParams):
 
       * width <= 24 at one-tile sizes    -> single-word int8 kernel (mxu):
         1.86M/s vs 0.98M/s XLA at n=4096 B=2048.
-      * Goldilocks prime, n <= 65536     -> 9-digit phi-fold kernel (gl64):
+      * Goldilocks prime, n <= 32768     -> 9-digit phi-fold kernel (gl64):
         425k/s vs 137k/s XLA GoldilocksRing.
-      * 30 < width <= 62, n <= 65536     -> double-word int8 kernel (mxu64):
+      * 30 < width <= 62, n <= 32768     -> double-word int8 kernel (mxu64):
         413k/s vs 125k/s XLA Ring64 (n=4096 B=2048).
       * width 25..30 (any n) and width <= 24 above the one-tile cap -> NONE:
         the single-word XLA merged path (Ring32, Shoup) beats the
@@ -37,13 +37,20 @@ def plan_for(p: NttParams):
         n=4096 B=2048; 100k vs 48k at n=32768 B=256) — the kernel's
         8-digit machinery is priced for 62-bit operands and cannot be
         narrowed below int8 digits.
+      * n = 65536 double-word -> NONE: the flat kernel's per-step
+        temporaries (n1 = 512 rows of digit expansions + carry-save
+        diagonals) exceed the 16 MB scoped-VMEM limit on v5e (17.1 MB
+        even at one group per step), so the size cannot compile; the
+        dispatch layer routes it to the kernel-locals four-step instead,
+        which also WINS (13.9k vs 3.6k nwc/s flat-XLA w60; 12.7k vs 3.3k
+        Goldilocks).
     """
     if p.n % 128 or p.n < 256:
         return None
     if p.width <= 24 and p.n <= 16384:
         return MxuPlan(p)
-    if p.n <= 65536 and p.q == GOLDILOCKS_Q:
+    if p.n <= 32768 and p.q == GOLDILOCKS_Q:
         return GoldilocksPlan64(p)
-    if p.n <= 65536 and 30 < p.width <= 62:
+    if p.n <= 32768 and 30 < p.width <= 62:
         return MxuPlan64(p)
     return None

@@ -676,10 +676,18 @@ class MxuPlan64:
     groups_per_step = 2
 
     def _eff_gps(self, batch_rows: int) -> int:
-        """Clamp groups-per-step to the actual group count so small
-        batches pay no padding."""
+        """Clamp groups-per-step to the actual group count (so small
+        batches pay no padding) and to the scoped-VMEM budget at large n.
+
+        The kernel body's per-step temporaries (digit expansions +
+        carry-save diagonals) scale with n1 * gps rows; measured on v5e:
+        n1 * gps = 1024 (n = 65536, gps = 2) overflows the 16 MB scoped
+        vmem limit at 18.6 MB, while n1 * gps = 512 (n = 32768, gps = 2 —
+        the hardware-validated bench config) fits.  Cap n1 * gps at 512 so
+        every kernel-window size compiles at any batch."""
         groups = -(-batch_rows // self.t)
-        return max(1, min(self.groups_per_step, groups))
+        cap = max(1, 512 // self.n1)
+        return max(1, min(self.groups_per_step, groups, cap))
 
     def _nwc_spec_kernel(
         self, x_hi, x_lo, w1, w2,

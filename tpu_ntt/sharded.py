@@ -776,7 +776,13 @@ class ShardedNtt:
 
 
 def default_split(n: int) -> tuple[int, int]:
-    """Balanced n = n1 * n2 split (n1 <= n2, both powers of two)."""
+    """Balanced n = n1 * n2 split (n1 >= n2, both powers of two).
+
+    For odd log2(n) the LARGER factor goes to n1 (the column pass):
+    measured +11% on the kernel-locals four-step at n = 2^17
+    (512x256 7,580 vs 256x512 6,811 nwc/s, w60 B=32 on v5e — fewer,
+    larger kernel calls on the transposed axis); even splits and n = 2^20
+    are insensitive (BENCH_NOTES.md round-2 split sweep)."""
     log_n = n.bit_length() - 1
-    n1 = 1 << (log_n // 2)
+    n1 = 1 << (log_n - log_n // 2)
     return n1, n // n1
