@@ -121,6 +121,22 @@ def test_sharded_nwc_poly_mult_vs_golden(p, n1, rng=random.Random(12)):
     assert list(got) == want
 
 
+def test_sharded_cached_spectrum_matches_direct(rng=random.Random(34)):
+    """Sharded cached-spectrum product (two all-to-alls instead of four) ==
+    the direct sharded product, XLA locals."""
+    p = DILITHIUM_256
+    fs = sharded.FourStepPlan(p, 16, 16)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    a, b = rand_poly(rng, p), rand_poly(rng, p)
+    ea = sn.put_natural(fs.encode(a), batched=False)
+    eb = sn.put_natural(fs.encode(b), batched=False)
+    want = fs.decode(sn.nwc_poly_mult(ea, eb, batched=False))
+    spec = sn.nwc_spectrum(eb, batched=False)
+    got = fs.decode(sn.nwc_poly_mult_cached(ea, spec, batched=False))
+    assert list(got) == list(want)
+
+
 def test_sharded_goldilocks_nwc_vs_golden(rng=random.Random(33)):
     """The width-64 Goldilocks ring composes with the sharded four-step
     path unchanged (its dedicated reduction rides the same (hi, lo)
@@ -340,6 +356,33 @@ def test_sharded_kernel_locals_nwc_vs_native(rng=random.Random(42)):
                                 batched=False))
     f_lo = fs.decode(sharded.fourstep_fwd_kernel(fs, ea))
     assert [int(v) for v in f_sh] == [int(v) for v in f_lo]
+    # cached-spectrum product (kernel locals) == direct
+    spec = sn.nwc_spectrum(sn.put_natural(eb, batched=False), batched=False)
+    gc = fs.decode(sn.nwc_poly_mult_cached(
+        sn.put_natural(ea, batched=False), spec, batched=False))
+    assert [int(v) for v in gc] == [int(v) for v in got]
+
+
+def test_sharded_kernel_locals_fused_exchange(rng=random.Random(44)):
+    """Kernel locals compose with the flag-guarded Pallas RDMA exchange
+    (both production features on): bit-identical to the XLA-exchange
+    kernel-locals product."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 786433
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh, fused_exchange=True)
+    nrng = np.random.default_rng(44)
+    a = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    b = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    got = fs.decode(sn.nwc_poly_mult(
+        sn.put_natural(fs.encode(a), batched=False),
+        sn.put_natural(fs.encode(b), batched=False), batched=False))
+    assert [int(v) for v in got] == native.nwc_fast(a, b, q, p.psi)
 
 
 def test_sharded_kernel_locals_goldilocks_2d_mesh(rng=random.Random(43)):

@@ -713,6 +713,28 @@ class ShardedNtt:
         fwd_body = self._fwd_body_kernel if kl else self._fwd_body
         inv_body = self._inv_body_kernel if kl else self._inv_body
 
+        if kl:
+            def spec_body(x, mid):
+                return self._fwd_body_kernel(x, mid, nwc=True)
+
+            def inv_nwc_body(x, mid_inv):
+                return self._inv_body_kernel(x, mid_inv, nwc=True)
+
+            spec_tables = (_tmap(jnp.asarray, fs.kmid_nwc),)
+            inv_nwc_tables = (_tmap(jnp.asarray, fs.kmid_inv_nwc),)
+        else:
+            def spec_body(x, twist_tw, mid):
+                return self._fwd_body(ring.mul_tw(x, twist_tw), mid)
+
+            def inv_nwc_body(x, untwist_tw, mid_inv):
+                return ring.mul_tw(self._inv_body(x, mid_inv), untwist_tw)
+
+            spec_tables = tuple(
+                _tmap(jnp.asarray, t) for t in (fs.twist_tw, fs.mid_tw_br))
+            inv_nwc_tables = tuple(
+                _tmap(jnp.asarray, t)
+                for t in (fs.untwist_tw, fs.mid_tw_inv_br))
+
         if name == "fwd":
             fn = self._shard_map(fwd_body, (sn, ts), sf)
             tables = (_tmap(jnp.asarray, fs.kmid if kl else fs.mid_tw_br),)
@@ -721,35 +743,31 @@ class ShardedNtt:
             tables = (
                 _tmap(jnp.asarray, fs.kmid_inv if kl else fs.mid_tw_inv_br),
             )
-        elif kl:  # nwc, kernel locals: twist/untwist fold into col + mid
+        elif name == "spectrum":
+            nt = len(spec_tables)
+            fn = self._shard_map(spec_body, (sn, *([ts] * nt)), sf)
+            tables = spec_tables
+        elif name == "cached":
+            nt = len(spec_tables) + len(inv_nwc_tables)
 
-            def body(a, b, mid, mid_inv):
-                fa = self._fwd_body_kernel(a, mid, nwc=True)
-                fb = self._fwd_body_kernel(b, mid, nwc=True)
-                return self._inv_body_kernel(ring.mul(fa, fb), mid_inv,
-                                             nwc=True)
+            def body(a, s, *tws):
+                fa = spec_body(a, *tws[:len(spec_tables)])
+                return inv_nwc_body(ring.mul(fa, s),
+                                    *tws[len(spec_tables):])
 
-            fn = self._shard_map(body, (sn, sn, ts, ts), sn)
-            tables = tuple(
-                _tmap(jnp.asarray, t)
-                for t in (fs.kmid_nwc, fs.kmid_inv_nwc)
-            )
-        else:  # nwc, XLA locals
+            fn = self._shard_map(body, (sn, sf, *([ts] * nt)), sn)
+            tables = spec_tables + inv_nwc_tables
+        else:  # nwc
 
-            def body(a, b, twist_tw, untwist_tw, mid, mid_inv):
-                at = ring.mul_tw(a, twist_tw)
-                bt = ring.mul_tw(b, twist_tw)
-                fa = self._fwd_body(at, mid)
-                fb = self._fwd_body(bt, mid)
-                c = self._inv_body(ring.mul(fa, fb), mid_inv)
-                return ring.mul_tw(c, untwist_tw)
+            def body(a, b, *tws):
+                fa = spec_body(a, *tws[:len(spec_tables)])
+                fb = spec_body(b, *tws[:len(spec_tables)])
+                return inv_nwc_body(ring.mul(fa, fb),
+                                    *tws[len(spec_tables):])
 
-            fn = self._shard_map(body, (sn, sn, ts, ts, ts, ts), sn)
-            tables = tuple(
-                _tmap(jnp.asarray, t)
-                for t in (fs.twist_tw, fs.untwist_tw, fs.mid_tw_br,
-                          fs.mid_tw_inv_br)
-            )
+            nt = len(spec_tables) + len(inv_nwc_tables)
+            fn = self._shard_map(body, (sn, sn, *([ts] * nt)), sn)
+            tables = spec_tables + inv_nwc_tables
         jfn = jax.jit(lambda *data: fn(*data, *tables))
         cache[key] = jfn
         return jfn
@@ -769,6 +787,20 @@ class ShardedNtt:
         Four all-to-alls total; twist/untwist/pointwise are local.
         """
         return self._jitted("nwc", batched)(a, b)
+
+    def nwc_spectrum(self, x: Elem, batched: bool = True) -> Elem:
+        """Cacheable NWC operand spectrum (four-step layout, twist folded):
+        the sharded analog of the flat ``nwc_spectrum`` — stage long-lived
+        operands (e.g. keys) once, then multiply many times with
+        ``nwc_poly_mult_cached`` for one forward + one inverse per
+        product."""
+        return self._jitted("spectrum", batched)(x)
+
+    def nwc_poly_mult_cached(self, a: Elem, spectrum: Elem,
+                             batched: bool = True) -> Elem:
+        """Sharded negacyclic product against a cached ``nwc_spectrum``
+        (two all-to-alls instead of four)."""
+        return self._jitted("cached", batched)(a, spectrum)
 
     def jit_nwc_poly_mult(self, batched: bool = True):
         """Jitted closure of the sharded product (tables embedded)."""
