@@ -363,6 +363,30 @@ def test_sharded_kernel_locals_nwc_vs_native(rng=random.Random(42)):
     assert [int(v) for v in gc] == [int(v) for v in got]
 
 
+def test_kernel_fourstep_spectrum_indices():
+    """KernelFourStep.spectrum_indices reflects the KERNEL layout (each
+    sub-kernel's four-step order), not the base class's bit-reversed
+    no-gather layout.  Closed form: fwd of the delta at index 1 has
+    natural spectrum X[k] = omega^k, so position [j1, j2] must hold
+    omega^spectrum_indices()[j1, j2]."""
+    q = 786433
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    x = [0] * p.n
+    x[1] = 1
+    flat = fs.decode(sharded.fourstep_fwd_kernel(fs, fs.encode([x])))[0]
+    idx = fs.spectrum_indices().reshape(-1)
+    want = [pow(p.omega, int(k), q) for k in idx]
+    assert [int(v) for v in flat] == want
+    # and the base-class map stays correct for the no-gather locals
+    fsx = sharded.FourStepPlan(p, 256, 256)
+    flatx = fsx.decode(
+        jax.jit(lambda v: sharded.fourstep_fwd_local(fsx, v))(fsx.encode(x))
+    )
+    idxx = fsx.spectrum_indices().reshape(-1)
+    assert [int(v) for v in flatx] == [pow(p.omega, int(k), q) for k in idxx]
+
+
 def test_sharded_kernel_locals_fused_exchange(rng=random.Random(44)):
     """Kernel locals compose with the flag-guarded Pallas RDMA exchange
     (both production features on): bit-identical to the XLA-exchange

@@ -128,10 +128,11 @@ def _fourstep_backend(p: NttParams):
 
     n1, n2 = _sh.default_split(p.n)
     interp = jax.devices()[0].platform != "tpu"
-    try:
-        fs = _sh.KernelFourStep(p, n1, n2, interpret=interp)
-    except ValueError:
-        fs = None
+    # explicit coverage predicate (not try/except): a genuine construction
+    # error inside a covered width must surface, not silently downgrade to
+    # the 2-4x-slower XLA locals
+    fs = (_sh.KernelFourStep(p, n1, n2, interpret=interp)
+          if _sh.KernelFourStep.supported(p, n1, n2) else None)
     ring_fs = fs if fs is not None else _sh.FourStepPlan(p, n1, n2)
     ring = ring_fs.ring
     split = ring.nlimbs == 2

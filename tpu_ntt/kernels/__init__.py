@@ -45,12 +45,22 @@ def plan_for(p: NttParams):
         which also WINS (13.9k vs 3.6k nwc/s flat-XLA w60; 12.7k vs 3.3k
         Goldilocks).
     """
-    if p.n % 128 or p.n < 256:
+    cls = covers(p.n, p.q)
+    return cls(p) if cls is not None else None
+
+
+def covers(n: int, q: int):
+    """The plan class ``plan_for`` would build for (n, q), or ``None`` —
+    a cheap predicate (no table construction) for callers that must test
+    coverage before committing to a build (sharded.KernelFourStep, the
+    dispatch four-step backend)."""
+    width = q.bit_length()
+    if n % 128 or n < 256:
         return None
-    if p.width <= 24 and p.n <= 16384:
-        return MxuPlan(p)
-    if p.n <= 32768 and p.q == GOLDILOCKS_Q:
-        return GoldilocksPlan64(p)
-    if p.n <= 32768 and 30 < p.width <= 62:
-        return MxuPlan64(p)
+    if width <= 24 and n <= 16384:
+        return MxuPlan
+    if n <= 32768 and q == GOLDILOCKS_Q:
+        return GoldilocksPlan64
+    if n <= 32768 and 30 < width <= 62:
+        return MxuPlan64
     return None

@@ -142,56 +142,88 @@ class FourStepPlan:
         )
         self.ring = self.col_plan.ring
 
-        # Twiddle matrices w_N^(k1*n2) / w_N^(-k1*n2), shape (n1, n2).
-        omega, omega_inv = p.omega, p.omega_inv
-        fwd = np.empty((self.n1, self.n2), dtype=object)
-        inv = np.empty((self.n1, self.n2), dtype=object)
-        for k1 in range(self.n1):
-            wf = pow(omega, k1, q)
-            wi = pow(omega_inv, k1, q)
-            cf = ci = 1
-            for m2 in range(self.n2):
-                fwd[k1, m2] = cf
-                inv[k1, m2] = ci
-                cf = cf * wf % q
-                ci = ci * wi % q
-        enc = lambda t: _tmap(
-            lambda a: a.reshape(self.n1, self.n2),
-            self.ring.encode_tw([int(v) for v in t.reshape(-1)]),
-        )
-        self.mid_tw = enc(fwd)
-        self.mid_tw_inv = enc(inv)
-
-        # Bit-reversed-row variants: the production local transform is the
-        # no-gather DIF/DIT network (ntt.ntt_fwd_nogather), which emits the
-        # column spectrum with k1 bit-reversed — so the mid table rows are
-        # permuted by bitrev(n1) once at plan-build time instead of paying a
-        # data gather every transform (CLAUDE.md roadmap 2 / VERDICT.md
-        # missing #2: "merged/no-gather local transform (needs the
-        # bit-reversed-k1 table permutation)").
+        # Bit-reversal of the column index (used by the no-gather-locals
+        # mid tables and spectrum_indices).
         log_n1 = self.n1.bit_length() - 1
         self.brv1 = np.array(
             [int(f"{i:0{log_n1}b}"[::-1], 2) for i in range(self.n1)]
             if log_n1 else [0],
             dtype=np.int64,
         )
-        self.mid_tw_br = enc(fwd[self.brv1])
-        self.mid_tw_inv_br = enc(inv[self.brv1])
 
-        # Negacyclic twist tables psi^(n1*n2dim + n2) (natural layout) and
-        # the scaled untwist psi^-(i) (n^-1 is already applied by the two
-        # sub-INTTs, so the untwist table is the plain psi^-i).
-        tw = np.empty((self.n1, self.n2), dtype=object)
-        untw = np.empty((self.n1, self.n2), dtype=object)
-        psi, psi_inv = p.psi, p.psi_inv
+    # -- tables (lazy: each is an O(n) host-side big-int build, seconds at
+    # -- n = 2^20, and a given consumer needs only a subset — the XLA
+    # -- no-gather locals use the _br mids + twist/untwist, the
+    # -- kernel-locals subclass uses neither) ---------------------------------
+    def _enc(self, t: np.ndarray):
+        return _tmap(
+            lambda a: a.reshape(self.n1, self.n2),
+            self.ring.encode_tw([int(v) for v in t.reshape(-1)]),
+        )
+
+    def _mid_raw(self, root: int) -> np.ndarray:
+        """Twiddle matrix root^(k1*m2), shape (n1, n2), object dtype."""
+        q = self.p.q
+        out = np.empty((self.n1, self.n2), dtype=object)
+        for k1 in range(self.n1):
+            w = pow(root, k1, q)
+            cur = 1
+            for m2 in range(self.n2):
+                out[k1, m2] = cur
+                cur = cur * w % q
+        return out
+
+    @functools.cached_property
+    def _mid_fwd_raw(self) -> np.ndarray:
+        return self._mid_raw(self.p.omega)
+
+    @functools.cached_property
+    def _mid_inv_raw(self) -> np.ndarray:
+        return self._mid_raw(self.p.omega_inv)
+
+    @functools.cached_property
+    def mid_tw(self):
+        return self._enc(self._mid_fwd_raw)
+
+    @functools.cached_property
+    def mid_tw_inv(self):
+        return self._enc(self._mid_inv_raw)
+
+    # Bit-reversed-row variants: the production no-gather DIF/DIT locals
+    # (ntt.ntt_fwd_nogather) emit the column spectrum with k1 bit-reversed —
+    # so the mid table rows are permuted by bitrev(n1) once at build time
+    # instead of paying a data gather every transform (VERDICT.md round-1
+    # missing #2: "merged/no-gather local transform (needs the
+    # bit-reversed-k1 table permutation)").
+    @functools.cached_property
+    def mid_tw_br(self):
+        return self._enc(self._mid_fwd_raw[self.brv1])
+
+    @functools.cached_property
+    def mid_tw_inv_br(self):
+        return self._enc(self._mid_inv_raw[self.brv1])
+
+    def _twist_raw(self, psi: int) -> np.ndarray:
+        """Negacyclic twist table psi^(i1*n2 + i2) in natural (n1, n2)
+        layout (the untwist passes psi_inv; n^-1 is already applied by the
+        two sub-INTTs, so the untwist table is the plain psi^-i)."""
+        q = self.p.q
+        out = np.empty((self.n1, self.n2), dtype=object)
         for i1 in range(self.n1):
             a = pow(psi, i1 * self.n2, q)
-            b = pow(psi_inv, i1 * self.n2, q)
+            cur = a
             for i2 in range(self.n2):
-                tw[i1, i2] = a * pow(psi, i2, q) % q
-                untw[i1, i2] = b * pow(psi_inv, i2, q) % q
-        self.twist_tw = enc(tw)
-        self.untwist_tw = enc(untw)
+                out[i1, i2] = cur
+                cur = cur * psi % q
+        return out
+
+    @functools.cached_property
+    def twist_tw(self):
+        return self._enc(self._twist_raw(self.p.psi))
+
+    @functools.cached_property
+    def untwist_tw(self):
+        return self._enc(self._twist_raw(self.p.psi_inv))
 
     # -- layout -------------------------------------------------------------
     def spectrum_indices(self) -> np.ndarray:
@@ -322,17 +354,30 @@ class KernelFourStep(FourStepPlan):
     #: run the kernels in Pallas interpret mode (CPU tests / non-TPU hosts)
     interpret: bool = False
 
+    @staticmethod
+    def supported(p: NttParams, n1: int, n2: int) -> bool:
+        """Cheap coverage predicate (no table construction): True iff both
+        sub-transforms have a fused kernel (kernels.covers).  The dispatch
+        layer checks this before committing to a build, so a genuine
+        construction error inside a covered width is never silently
+        downgraded to the XLA locals."""
+        from . import kernels as _kernels
+
+        return (_kernels.covers(n1, p.q) is not None
+                and _kernels.covers(n2, p.q) is not None)
+
     def __post_init__(self):
+        # coverage check BEFORE any table work: rejection costs nothing
+        if not self.supported(self.p, self.n1, self.n2):
+            raise ValueError(
+                f"no fused-kernel coverage for sub-transforms n1={self.n1}, "
+                f"n2={self.n2} at width {self.p.width}"
+            )
         super().__post_init__()
         from . import kernels as _kernels
 
         self.col_k = _kernels.plan_for(self.col_plan.p)
         self.row_k = _kernels.plan_for(self.row_plan.p)
-        if self.col_k is None or self.row_k is None:
-            raise ValueError(
-                f"no fused-kernel coverage for sub-transforms n1={self.n1}, "
-                f"n2={self.n2} at width {self.p.width}"
-            )
         p, q = self.p, self.p.q
         # position j1 of the col kernel's output holds sub-spectrum index
         # pos_to_nat[j1]; permute the outer mid rows to match.
@@ -359,15 +404,22 @@ class KernelFourStep(FourStepPlan):
         self.kmid_nwc = enc(mid(p.omega, p.psi))
         self.kmid_inv_nwc = enc(mid(p.omega_inv, p.psi_inv))
 
+    def spectrum_indices(self) -> np.ndarray:
+        """(n1, n2) int array: the NATURAL spectrum index held at transform-
+        domain position [j1, j2] — the kernel-locals layout (each sub-kernel
+        emits its own four-step order, see fourstep_to_natural_perm), which
+        differs from the base class's bit-reversed no-gather layout."""
+        pos1 = np.argsort(self.col_k.fourstep_to_natural_perm())
+        pos2 = np.argsort(self.row_k.fourstep_to_natural_perm())
+        return pos2[None, :] * self.n1 + pos1[:, None]
+
     def _apply(self, kplan, meth, x: Elem, axis_from_end: int) -> Elem:
         """Run a kernel entry point (a last-axis (B, n_sub) transform) along
-        axis ``-axis_from_end`` of a (..., n1, n2) element, bridging the
-        single-word-ring <-> pairs-kernel layout gap (widths 25..30 use
-        Ring32 elements but the double-word kernel)."""
-        single = not isinstance(x, (tuple, list))
-        if single and kplan.pairs:
-            x = (jnp.zeros_like(x), x)
-
+        axis ``-axis_from_end`` of a (..., n1, n2) element.  Ring elements
+        and kernel layouts agree by construction of kernels.covers: width
+        <= 24 pairs Ring32 with the single-word MxuPlan, widths 31..64 pair
+        double-word rings with pairs kernels (width 25..30 has no kernel —
+        the XLA locals serve it)."""
         def to2d(a):
             if axis_from_end == 2:
                 a = jnp.moveaxis(a, -2, -1)
@@ -383,8 +435,6 @@ class KernelFourStep(FourStepPlan):
             res = meth(a2, self.interpret).reshape(sh)
         if axis_from_end == 2:
             res = _tmap(lambda a: jnp.moveaxis(a, -1, -2), res)
-        if single and kplan.pairs:
-            res = res[1]  # outputs are < q < 2^31: hi word is zero
         return res
 
 
