@@ -121,6 +121,20 @@ def test_sharded_nwc_poly_mult_vs_golden(p, n1, rng=random.Random(12)):
     assert list(got) == want
 
 
+def test_sharded_cyclic_poly_mult_vs_golden(rng=random.Random(35)):
+    """Distributed cyclic product (the RTL top-level semantics) on the
+    8-device mesh vs the schoolbook golden."""
+    p = DILITHIUM_256
+    fs = sharded.FourStepPlan(p, 16, 16)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    a, b = rand_poly(rng, p), rand_poly(rng, p)
+    got = fs.decode(sn.cyclic_poly_mult(
+        sn.put_natural(fs.encode(a), batched=False),
+        sn.put_natural(fs.encode(b), batched=False), batched=False))
+    assert list(got) == reference.schoolbook_cyclic(a, b, p.q)
+
+
 def test_sharded_cached_spectrum_matches_direct(rng=random.Random(34)):
     """Sharded cached-spectrum product (two all-to-alls instead of four) ==
     the direct sharded product, XLA locals."""

@@ -807,6 +807,19 @@ class ShardedNtt:
 
             fn = self._shard_map(body, (sn, sf, *([ts] * nt)), sn)
             tables = spec_tables + inv_nwc_tables
+        elif name == "cyclic":
+
+            def body(a, b, mid, mid_inv):
+                fa = fwd_body(a, mid)
+                fb = fwd_body(b, mid)
+                return inv_body(ring.mul(fa, fb), mid_inv)
+
+            fn = self._shard_map(body, (sn, sn, ts, ts), sn)
+            tables = tuple(
+                _tmap(jnp.asarray, t)
+                for t in ((fs.kmid, fs.kmid_inv) if kl
+                          else (fs.mid_tw_br, fs.mid_tw_inv_br))
+            )
         else:  # nwc
 
             def body(a, b, *tws):
@@ -837,6 +850,11 @@ class ShardedNtt:
         Four all-to-alls total; twist/untwist/pointwise are local.
         """
         return self._jitted("nwc", batched)(a, b)
+
+    def cyclic_poly_mult(self, a: Elem, b: Elem, batched: bool = True) -> Elem:
+        """Sharded cyclic product INTT(NTT(a) . NTT(b)) — the RTL top-level
+        pipeline semantics (rtl/ntt_poly_mult.sv), distributed."""
+        return self._jitted("cyclic", batched)(a, b)
 
     def nwc_spectrum(self, x: Elem, batched: bool = True) -> Elem:
         """Cacheable NWC operand spectrum (four-step layout, twist folded):
