@@ -131,9 +131,10 @@ def kernel_phase_report(p: NttParams, batch: int = 512,
 
     rng = np.random.default_rng(0)
     v = rng.integers(0, p.q, size=(2, batch, p.n), dtype=np.uint64)
+    pairs = dispatch.takes_pairs(p)
 
     def enc(x):
-        if p.width <= 30:
+        if not pairs:
             return jax.device_put(x.astype(np.uint32))
         return (
             jax.device_put((x >> 32).astype(np.uint32)),
@@ -169,15 +170,21 @@ def main():
 
     ap = argparse.ArgumentParser(description="per-phase pipeline profile")
     ap.add_argument("--preset", default="p24_4096")
+    ap.add_argument("--n", type=int,
+                    help="custom transform size (with --q; overrides "
+                         "--preset; reaches the large-N four-step backends)")
+    ap.add_argument("--q", type=int, help="custom modulus (with --n)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--kernel", action="store_true",
-                    help="profile the production Pallas kernel path "
+                    help="profile the production dispatch path "
                          "(default: the XLA merged path)")
     ap.add_argument("--trace-dir", help="also capture an xprof trace here")
     args = ap.parse_args()
-    from .params import PRESETS
+    from .params import PRESETS, make_params
 
-    p = PRESETS[args.preset]
+    if (args.n is None) != (args.q is None):
+        ap.error("--n and --q must be given together")
+    p = make_params(args.n, args.q) if args.n else PRESETS[args.preset]
     report = kernel_phase_report if args.kernel else phase_report
     if args.trace_dir:
         with trace(args.trace_dir):
