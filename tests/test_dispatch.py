@@ -17,7 +17,9 @@ def test_impl_selection():
     from tpu_ntt.modmath import GOLDILOCKS_Q
 
     assert dispatch.impl_name(DILITHIUM_256) == "pallas-mxu"
-    assert dispatch.impl_name(P60_4096) == "pallas-mxu64"
+    # the shipped 60-bit modulus is 2^60 - 2^14 + 1: Solinas fold kernel
+    # (465k vs 413k nwc/s on hardware, BENCH_NOTES.md round 2)
+    assert dispatch.impl_name(P60_4096) == "pallas-sol64"
     # power-of-two n below 256 can't use the kernel
     assert dispatch.impl_name(make_params(128, 8380417)) == "xla-merged"
     # 31-bit modulus: double-word ring territory — the kernel when n fits,

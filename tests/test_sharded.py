@@ -341,6 +341,32 @@ def test_kernel_fourstep_goldilocks_vs_native(rng=random.Random(41)):
     assert [int(v) for v in got[0]] == native.nwc_fast(a, b, q, p.psi)
 
 
+def test_kernel_fourstep_solinas_vs_native(rng=random.Random(43)):
+    """Trinomial 60-bit modulus through the kernel-locals four-step: the
+    local transforms route to SolinasPlan64 (kernels.plan_for), so the
+    large-N path inherits the headline fold speedup.  q = 2^60 - 2^18 + 1
+    (2-adicity 18) is the production choice for n in (32768, 2^17]."""
+    from tpu_ntt import native
+    from tpu_ntt.kernels import covers
+    from tpu_ntt.kernels.sol64 import SolinasPlan64
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = (1 << 60) - (1 << 18) + 1
+    p = make_params(1 << 16, q)
+    assert covers(256, q) is SolinasPlan64
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    nrng = np.random.default_rng(43)
+    a = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    b = [int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+    a[:3] = [0, 1, q - 1]
+    got = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, fs.encode([a]),
+                                              fs.encode([b]))
+    )
+    assert [int(v) for v in got[0]] == native.nwc_fast(a, b, q, p.psi)
+
+
 def test_sharded_kernel_locals_nwc_vs_native(rng=random.Random(42)):
     """Distributed four-step with fused-kernel locals: passing a
     KernelFourStep to ShardedNtt runs the column/row passes AS the Pallas

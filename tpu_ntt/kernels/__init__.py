@@ -14,6 +14,7 @@ from ..params import NttParams
 from .gl64 import GoldilocksPlan64  # noqa: F401
 from .mxu import MxuPlan  # noqa: F401
 from .mxu64 import MxuPlan64  # noqa: F401
+from .sol64 import SolinasPlan64  # noqa: F401
 
 
 def plan_for(p: NttParams):
@@ -29,8 +30,13 @@ def plan_for(p: NttParams):
         1.86M/s vs 0.98M/s XLA at n=4096 B=2048.
       * Goldilocks prime, n <= 32768     -> 9-digit phi-fold kernel (gl64):
         425k/s vs 137k/s XLA GoldilocksRing.
-      * 30 < width <= 62, n <= 32768     -> double-word int8 kernel (mxu64):
-        413k/s vs 125k/s XLA Ring64 (n=4096 B=2048).
+      * Solinas trinomial q = 2^a - 2^b + 1 (48 <= a <= 62, fold bounds
+        verified), n <= 32768            -> shift-add fold kernel
+        (sol64): 483k/s nwc and 659k/s cached vs mxu64's 413k/565k on
+        the HEADLINE p60_4096 (q = 2^60 - 2^14 + 1 — the reference's
+        shipped 60-bit modulus is itself a trinomial).
+      * 30 < width <= 62 otherwise, n <= 32768 -> double-word int8 kernel
+        (mxu64): 413k/s vs 125k/s XLA Ring64 (n=4096 B=2048).
       * width 25..30 (any n) and width <= 24 above the one-tile cap -> NONE:
         the single-word XLA merged path (Ring32, Shoup) beats the
         double-word kernel ~2.1x wherever it exists (974k vs 469k at
@@ -62,5 +68,7 @@ def covers(n: int, q: int):
     if n <= 32768 and q == GOLDILOCKS_Q:
         return GoldilocksPlan64
     if n <= 32768 and 30 < width <= 62:
+        if SolinasPlan64.covers_q(q, n):
+            return SolinasPlan64
         return MxuPlan64
     return None

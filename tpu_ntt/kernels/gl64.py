@@ -87,7 +87,8 @@ class GoldilocksPlan64(MxuPlan64):
         # fold-lane magnitude bound: each carry-save lane takes one even
         # diagonal (<= D), one odd-diagonal low byte (< 2^24) and one odd
         # high part (<= D/256 + 1); two folds then sum at most 4 lanes.
-        D = self.nlimbs * self.rows * 127 * 127
+        # balanced digits reach -128, so a digit product reaches 128^2
+        D = self.nlimbs * self.rows * 128 * 128
         lane = D + (1 << 24) + D // 256 + 1
         assert 4 * lane < _BIAS, "folded digit lanes must fit the bias"
 

@@ -522,11 +522,13 @@ def _a2a_pallas_leaf(x, *, mesh_axes, exchange_axis, d, split_from_end,
         coords = {ax: jax.lax.axis_index(ax) for ax in mesh_axes}
         me = coords[exchange_axis]
         # axis_index values carry varying-manual-axes metadata; the
-        # interpret-mode evaluator needs constants promoted with pvary
-        # before multiplying, but Mosaic has no pvary lowering — on real
-        # hardware the plain constant works.
+        # interpret-mode evaluator needs constants promoted to 'varying'
+        # before multiplying, but Mosaic has no lowering for that cast —
+        # on real hardware the plain constant works.
         if interpret:
-            _c = lambda v: jax.lax.pvary(jnp.int32(v), (exchange_axis,))
+            _c = lambda v: jax.lax.pcast(
+                jnp.int32(v), (exchange_axis,), to="varying"
+            )
         else:
             _c = jnp.int32
         off_r = me * _c(blk_r)
