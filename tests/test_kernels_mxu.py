@@ -94,6 +94,33 @@ def test_edge_values():
         assert [int(v) for v in got[i]] == want
 
 
+def test_balanced_and_zero_point_bit_identical():
+    """The balanced-digit matmul (default) and the legacy zero-point
+    scheme are exact rewrites of the same reduction: boundary + random
+    batches must agree bit-for-bit (the toggle is a measured ablation,
+    BENCH_NOTES.md round 2)."""
+    p = DILITHIUM_256
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, p.q, size=(3, p.n), dtype=np.uint32)
+    b = rng.integers(0, p.q, size=(3, p.n), dtype=np.uint32)
+    a[0, :] = p.q - 1
+    b[0, :] = p.q - 1
+    outs = []
+    for bal in (True, False):
+        cls = type("V", (MxuPlan,), {"balanced": bal})
+        mp = cls(p)
+        outs.append(np.asarray(mp.nwc_poly_mult(a, b, interpret=True)))
+        spec = mp.nwc_spectrum(b, interpret=True)
+        cached = np.asarray(
+            mp.nwc_poly_mult_cached(a, spec, interpret=True))
+        assert (cached == outs[-1]).all()
+    assert (outs[0] == outs[1]).all()
+    want = reference.nwc_poly_mult(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], p
+    )
+    assert [int(v) for v in outs[0][0]] == want
+
+
 def test_rejects_wide_modulus():
     with pytest.raises(ValueError, match="2\\^24"):
         MxuPlan(P60_4096)

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..modmath import mont_mul32, mul32, shoup_mul32
 from ..params import NttParams
+from .mxu64 import _balanced_digits
 
 U32 = jnp.uint32
 LANES = 128
@@ -87,6 +88,19 @@ class MxuPlan:
     #: dispatch name and data layout (single uint32 arrays, not pairs)
     name = "pallas-mxu"
     pairs = False
+
+    #: ``True`` decomposes operands into FOUR balanced signed 8-bit digits
+    #: (exact for v < 2^30) instead of three offset-by-128 limbs, deleting
+    #: the zero-point machinery (line sums, KS multiply, BASE tables) the
+    #: way the double-word kernel did for +9% (mxu64.py).  MEASURED DEAD
+    #: END here: the 24-bit operand needs a 4th digit (top byte can be
+    #: >= 128), so the matmul work grows 3 -> 4 limbs (5 -> 7 diagonals)
+    #: — unlike the 60-bit kernel, whose limb count was 8 either way.  On
+    #: hardware the extra MXU+scan work loses ~19-27%: nwc 1.60M vs 1.97M
+    #: op/s, dilithium 26.8M vs 36.6M (BENCH_NOTES.md round 2).  The
+    #: zero-point scheme stays the default; the toggle is the ablation
+    #: record, bit-identical by tests/test_kernels_mxu.py.
+    balanced = False
 
     def __init__(self, p: NttParams, int8_path: bool = True):
         if p.width > 24:
@@ -132,15 +146,37 @@ class MxuPlan:
         L = self.nlimbs
         self._s8 = sum(1 << (8 * j) for j in range(L))
         self._ks = 128 * self._s8  # < 2^24 for L=3: fits one word
-        self._diag_off = 1 << 24  # |raw diag| <= L*128*128^2 < 2^23.6
+        self._diag_off = 1 << 24  # |raw diag| <= 4*128*128^2 < 2^23.1
+        # balanced path: 4 digits, 7 diagonals; constant accumulator init
+        # that cancels the per-diagonal offsets (mod 2^64, wrap-exact
+        # because the true S < 128*q^2 < 2^55)
+        _bal_off = sum(self._diag_off << (8 * k) for k in range(7))
+        self._bal_const = tuple(
+            np.uint32(((-_bal_off) % (1 << 64)) >> (32 * i) & 0xFFFFFFFF)
+            for i in range(2)
+        )
 
         def make_w(m: np.ndarray, left: bool):
-            """int8 path: (int8 limbs, 2-word BASE accumulator); bf16 path:
+            """balanced int8 path: (stacked signed-digit matrix,); legacy
+            int8 path: (int8 limbs, 2-word BASE accumulator); bf16 path:
             (bf16 limbs,).  BASE carries the zero-point corrections that
             depend only on W (line sums, constants, diagonal offsets),
             stored mod 2^64 (see mxu64.py for the derivation)."""
             if not int8_path:
                 return (_limb_split_bf16(m, L),)
+            if self.balanced:
+                # descending-order digit stack along the contraction axis
+                # (mxu64.make_w layout: diagonal k of the product is ONE
+                # dot against a contiguous slice of the ascending x stack)
+                digit_arrays = [np.empty(m.shape, dtype=np.int8)
+                                for _ in range(4)]
+                for idx, v in np.ndenumerate(m):
+                    for i, dd in enumerate(_balanced_digits(int(v), 4)):
+                        digit_arrays[i][idx] = dd
+                stack = np.concatenate(
+                    digit_arrays[::-1], axis=1 if left else 0
+                )
+                return (jnp.asarray(stack),)
             limbs = np.stack(
                 [
                     (((m >> (8 * i)) & 0xFF).astype(np.int32) - 128).astype(
@@ -251,6 +287,73 @@ class MxuPlan:
             for i in range(L)
         ]
 
+    def _to_limbs_bal(self, x):
+        """Four balanced signed 8-bit digits of x < 2^25 (any operand or
+        lazy representative here; top digit < 64 so the borrow is always
+        absorbed).  Serial borrow ripple, bit-twiddled booleans only
+        (`jnp.where`-based digit selects hang Mosaic — CLAUDE.md)."""
+        b = [(x >> (8 * j)) & 0xFF for j in range(4)]
+        cs = [None]
+        c = None
+        for j in range(3):
+            t = b[j] if c is None else b[j] + c
+            c = (t + 128) >> 8
+            cs.append(c)
+        out = []
+        for j in range(4):
+            t = b[j] if cs[j] is None else b[j] + cs[j]
+            biased = t + 128
+            out.append(((biased & 0xFF).astype(jnp.int32) - 128)
+                       .astype(jnp.int8))
+        return out
+
+    def _matmul_balanced(self, x, w_set, left: bool):
+        """REDC( W @ x ) / REDC( x @ W ) on balanced signed digits: the 7
+        digit diagonals come out of the int8 MXU as TRUE signed partial
+        sums (one dot per diagonal against a contiguous slice of the
+        ascending x-digit stack), so the only bookkeeping left is the
+        constant per-diagonal offset cancelled by the precomputed
+        accumulator init — no line sums, no KS multiply, no BASE tables."""
+        (w_desc,) = w_set
+        xl = self._to_limbs_bal(x)
+        xstack = jnp.concatenate(xl, axis=0 if left else 1)
+        unit = x.shape[-2] if left else x.shape[-1]
+        i32 = jnp.int32
+        diags = []
+        for k in range(7):
+            i0, i1 = max(0, k - 3), min(3, k)
+            p0 = 3 - (k - i0)
+            kk = (i1 - i0 + 1) * unit
+            if left:
+                prod = jnp.dot(
+                    w_desc[:, p0 * unit : p0 * unit + kk],
+                    xstack[i0 * unit : i0 * unit + kk, :],
+                    preferred_element_type=i32,
+                )
+            else:
+                prod = jnp.dot(
+                    xstack[:, i0 * unit : i0 * unit + kk],
+                    w_desc[p0 * unit : p0 * unit + kk, :],
+                    preferred_element_type=i32,
+                )
+            diags.append((prod + i32(self._diag_off)).astype(U32))
+
+        lo = jnp.full_like(x, self._bal_const[0])
+        hi = jnp.full_like(x, self._bal_const[1])
+        for k, s in enumerate(diags):
+            sh = 8 * k
+            if sh >= 32:
+                hi = hi + (s << (sh - 32))
+                continue
+            add_lo = s << sh
+            new_lo = lo + add_lo
+            carry = (new_lo < lo).astype(U32)
+            lo = new_lo
+            hi = hi + carry
+            if sh:
+                hi = hi + (s >> (32 - sh))
+        return self._redc_pair(hi, lo)
+
     def _redc_pair(self, hi, lo):
         """(hi*2^32 + lo) * R^-1 mod q, valid for hi*2^32+lo < q*2^32."""
         m = lo * U32(self.q_prime)
@@ -267,6 +370,8 @@ class MxuPlan:
         partial sum < 2^24 (exact)."""
         L = self.nlimbs
         if self.int8_path:
+            if self.balanced:
+                return self._matmul_balanced(x, w_set, left)
             return self._matmul_int8(x, w_set, left)
         (w_limbs,) = w_set
         xl = self._to_limbs(x)
@@ -368,6 +473,8 @@ class MxuPlan:
 
     def _take_w(self, refs):
         """Pop one W set from the flat ref list -> ((limbs..., [base]), rest)."""
+        if self.int8_path and self.balanced:
+            return (refs[0],), refs[1:]  # one stacked digit matrix
         if self.int8_path:
             limbs_ref, base_ref = refs[0], refs[1]
             return ([limbs_ref[i] for i in range(self.nlimbs)], base_ref), refs[2:]
@@ -534,6 +641,10 @@ class MxuPlan:
         )
 
         def spec_for(a):
+            if a.dtype == jnp.int8 and a.ndim == 2:
+                # balanced stacked digit matrix: full-array constant block
+                return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
             if a.dtype in (jnp.bfloat16, jnp.int8):
                 return w_spec
             if a.ndim == 3:
