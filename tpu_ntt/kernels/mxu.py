@@ -200,8 +200,6 @@ class MxuPlan:
                         words[wi, :, idx] = wv
             return (jnp.asarray(limbs), jnp.asarray(words))
 
-        self.w1 = make_w(to_mont(block_diag(dft_matrix(n1, w1))), left=True)
-        self.w1i = make_w(to_mont(block_diag(dft_matrix(n1, w1i))), left=True)
         self.w2 = make_w(to_mont(dft_matrix(n2, w2)), left=False)
         self.w2i = make_w(to_mont(dft_matrix(n2, w2i)), left=False)
 
@@ -250,23 +248,24 @@ class MxuPlan:
 
         omega, omega_inv = p.omega, p.omega_inv
         psi, psi_inv = p.psi, p.psi_inv
-        self.mid = tiled(lambda k1, m2: pow(omega, k1 * m2, q) * r % q)
-        self.mid_inv = tiled(lambda k1, m2: pow(omega_inv, k1 * m2, q) * r % q)
-        # twist enters the Montgomery domain (psi^i * R^2); untwist leaves it
-        # and folds the n^-1 INTT scale (psi^-i * n^-1, plain).
-        self.twist = tiled(lambda i1, i2: pow(psi, i1 * n2 + i2, q) * r2 % q)
-        self.untwist = tiled(
-            lambda i1, i2: pow(psi_inv, i1 * n2 + i2, q) * p.n_inv % q
-        )
-        self.enter = tiled(lambda i1, i2: r2)  # x -> x*R
-        self.exit_scale = tiled(lambda i1, i2: p.n_inv % q)  # xbar*n^-1 -> std
-        self.exit_one = tiled(lambda i1, i2: 1)  # xbar -> x (plain REDC)
-        # NWC-folded mid tables (psi^(+-n2) split of the twist),
-        # Shoup-encoded (plain twiddle + floor(t*2^32/q)): one widening
-        # multiply per elementwise pass, domain-preserving.
+        # Shoup-encoded mid tables (plain twiddle + floor(t*2^32/q)): one
+        # widening multiply per elementwise pass, domain-preserving —
+        # every kernel's only surviving elementwise twiddle pass.  The
+        # standalone/cyclic entries fold domain entry into R^2-scaled
+        # left matrices and exit into plain ones (one REDC enters, one
+        # exits, both riding matmuls that happen anyway — the same
+        # round-2 rework that removed the 60-bit kernels' enter/exit
+        # passes, mxu64.py), so the old enter/exit/twist/untwist
+        # elementwise tables no longer exist at all.
         def shoup_tiled(fn):
             return (tiled(fn), tiled(lambda i1, i2: (fn(i1, i2) << 32) // q))
 
+        self.mid_shoup = shoup_tiled(lambda k1, m2: pow(omega, k1 * m2, q))
+        # n^-1 folds into the inverse mid (the reference SCALE phase,
+        # rtl/ntt_inverse.v:174-196, at zero extra passes)
+        self.mid_inv_fold = shoup_tiled(
+            lambda k1, m2: pow(omega_inv, k1 * m2, q) * p.n_inv % q
+        )
         self.mid_nwc = shoup_tiled(
             lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) % q
         )
@@ -274,6 +273,14 @@ class MxuPlan:
             lambda k1, m2: pow(omega_inv, k1 * m2, q)
             * pow(psi_inv, m2, q) % q * p.n_inv % q
         )
+        # entry-scaled left matrices (REDC of x_plain * w*R^2 lands in the
+        # Montgomery domain) and plain exit matrices (REDC of xbar * w
+        # exits) for the standalone/cyclic kernels
+        scale2 = lambda m: (m.astype(object) * r2 % q).astype(np.uint32)
+        self.w1_enter = make_w(scale2(block_diag(dft_matrix(n1, w1))),
+                               left=True)
+        self.w2i_enter = make_w(scale2(dft_matrix(n2, w2i)), left=False)
+        self.w1i_exit = make_w(block_diag(dft_matrix(n1, w1i)), left=True)
 
     # ------------------------------------------------------------------
     # In-kernel primitives (pure jnp on (128, 128) uint32 values)
@@ -457,16 +464,6 @@ class MxuPlan:
         """Elementwise Montgomery product with a precomputed table."""
         return mont_mul32(x, table, self.q, self.q_prime)
 
-    def _fwd_group(self, x, w1, w2, mid):
-        x = self._matmul_mont(x, w1, left=True)
-        x = self._emul(x, mid)
-        return self._matmul_mont(x, w2, left=False)
-
-    def _inv_group(self, x, w1i, w2i, mid_inv):
-        x = self._matmul_mont(x, w2i, left=False)
-        x = self._emul(x, mid_inv)
-        return self._matmul_mont(x, w1i, left=True)
-
     # ------------------------------------------------------------------
     # Kernel bodies (variadic: each W set is 1 ref (bf16) or 2 (int8+BASE))
     # ------------------------------------------------------------------
@@ -505,21 +502,6 @@ class MxuPlan:
             c = shoup_mul32(c, mi_w, mi_s, self.q)
             out_ref[g] = self._matmul_mont(c, w1i, left=True)
 
-    def _cyclic_kernel(self, a_ref, b_ref, *refs):
-        w1, refs = self._take_w(refs)
-        w2, refs = self._take_w(refs)
-        w1i, refs = self._take_w(refs)
-        w2i, refs = self._take_w(refs)
-        en, m, mi, ex = (r[...] for r in refs[:4])
-        out_ref = refs[4]
-        for g in range(a_ref.shape[0]):
-            at = self._emul(a_ref[g], en)
-            bt = self._emul(b_ref[g], en)
-            fa = self._fwd_group(at, w1, w2, m)
-            fb = self._fwd_group(bt, w1, w2, m)
-            c = self._emul(fa, fb)
-            c = self._inv_group(c, w1i, w2i, mi)
-            out_ref[g] = self._emul(c, ex)  # n^-1 scale + domain exit
 
     def _nwc_spec_kernel(self, x_ref, *refs):
         """Forward half of the fused NWC pipeline, output left in the
@@ -577,26 +559,6 @@ class MxuPlan:
             c = self._matmul_mont(x_ref[g], w2i, left=False)
             c = shoup_mul32(c, mi_w, mi_s, self.q)
             out_ref[g] = self._matmul_mont(c, w1ip, left=True)
-
-    def _fwd_kernel(self, x_ref, *refs):
-        w1, refs = self._take_w(refs)
-        w2, refs = self._take_w(refs)
-        enter, mid, exit_one = (r[...] for r in refs[:3])
-        out_ref = refs[3]
-        for g in range(x_ref.shape[0]):
-            xt = self._emul(x_ref[g], enter)
-            y = self._fwd_group(xt, w1, w2, mid)
-            out_ref[g] = self._emul(y, exit_one)
-
-    def _inv_kernel(self, x_ref, *refs):
-        w1i, refs = self._take_w(refs)
-        w2i, refs = self._take_w(refs)
-        enter, mid_inv, exit_scale = (r[...] for r in refs[:3])
-        out_ref = refs[3]
-        for g in range(x_ref.shape[0]):
-            xt = self._emul(x_ref[g], enter)
-            y = self._inv_group(xt, w1i, w2i, mid_inv)
-            out_ref[g] = self._emul(y, exit_scale)
 
     # ------------------------------------------------------------------
     # pallas_call wrappers
@@ -687,15 +649,19 @@ class MxuPlan:
 
     def cyclic_poly_mult(self, a, b, interpret: bool = False):
         """Fused cyclic product INTT(NTT(a) . NTT(b)) — the RTL top-level
-        semantics (rtl/ntt_poly_mult.sv pipeline)."""
+        semantics (rtl/ntt_poly_mult.sv pipeline).  Same kernel body as
+        the NWC product with unscaled-twiddle tables: domain entry rides
+        the R^2-scaled first matmul, n^-1 the Shoup inverse mid, and the
+        exit the plain last matmul — zero elementwise enter/exit passes
+        (the rework that bought the 60-bit kernels +23%, mxu64.py)."""
         ga, bsz = self._group_batch(a)
         gb, _ = self._group_batch(b)
         out = self._call(
-            self._cyclic_kernel,
+            self._nwc_kernel,
             (ga, gb),
             (
-                *self.w1, *self.w2, *self.w1i, *self.w2i,
-                self.enter, self.mid, self.mid_inv, self.exit_scale,
+                *self.w1_enter, *self.w2, *self.w1i_exit, *self.w2i,
+                *self.mid_shoup, *self.mid_inv_fold,
             ),
             interpret=interpret,
         )
@@ -766,22 +732,22 @@ class MxuPlan:
         """
         gx, bsz = self._group_batch(x)
         out = self._call(
-            self._fwd_kernel,
+            self._nwc_fwd_kernel,
             (gx,),
-            (*self.w1, *self.w2, self.enter, self.mid, self.exit_one),
+            (*self.w1_enter, *self.w2_exit, *self.mid_shoup),
             interpret=interpret,
         )
         return out.reshape(-1, self.p.n)[:bsz]
 
     def ntt_inv(self, x, interpret: bool = False):
-        """Batched cyclic inverse NTT consuming the four-step layout."""
+        """Batched cyclic inverse NTT consuming the four-step layout;
+        n^-1 rides the Shoup mid (the reference SCALE phase), the domain
+        round-trip rides the two matmuls."""
         gx, bsz = self._group_batch(x)
         out = self._call(
-            self._inv_kernel,
-            (
-                gx,),
-            (*self.w1i, *self.w2i, self.enter, self.mid_inv,
-             self.exit_scale),
+            self._nwc_inv_kernel,
+            (gx,),
+            (*self.w2i_enter, *self.w1i_exit, *self.mid_inv_fold),
             interpret=interpret,
         )
         return out.reshape(-1, self.p.n)[:bsz]
