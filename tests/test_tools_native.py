@@ -56,6 +56,22 @@ def test_cli_find_psi_all():
         assert pow(psi, 256, 8380417) == 8380416
 
 
+def test_cli_find_trinomial():
+    """Solinas modulus finder: every line is a prime 2^a - 2^b + 1 with
+    enough 2-adicity for the requested n; the shipped headline q appears
+    in the 60-bit window (it IS 2^60 - 2^14 + 1)."""
+    rc, out = run_cli(["find-trinomial", "--n", "4096", "--min-width", "60",
+                       "--max-width", "60", "--limit", "4"])
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert any("2^60 - 2^14 + 1" in ln and "pallas-sol64" in ln
+               for ln in lines)
+    for ln in lines:
+        q = int(ln.split("=")[2].split("(")[0])
+        assert pow(2, q - 1, q) == 1  # Fermat witness
+        assert (q - 1) % (2 * 4096) == 0
+
+
 def test_cli_constants():
     rc, out = run_cli(["constants", "--preset", "p60_4096"])
     assert rc == 0

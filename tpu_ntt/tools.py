@@ -9,6 +9,7 @@ find_psi.py) and test/refs/generate_twiddle_hex.py:
     python -m tpu_ntt.tools find-psi --n 4096 --q 8380417 [--all]
     python -m tpu_ntt.tools constants --preset p60_4096
     python -m tpu_ntt.tools verify-hex --preset p24_4096 --file fwd.hex
+    python -m tpu_ntt.tools find-trinomial --n 4096 --min-width 48
 
 Output formats are bit-compatible with the reference's hex images
 (rtl/twiddle_*.hex): uppercase, zero-padded to ceil(width/4) digits.
@@ -114,6 +115,38 @@ def cmd_verify_hex(args) -> int:
     return 1
 
 
+def cmd_find_trinomial(args) -> int:
+    """Enumerate Solinas trinomial NTT primes q = 2^a - 2^b + 1.
+
+    These get the fold fast path (kernels/sol64.py, zero reducer
+    multiplies — the reference's own shipped 60-bit modulus is
+    2^60 - 2^14 + 1); 2-adicity of q - 1 is exactly b, so b >= log2(2n)
+    is required for a primitive 2n-th root to exist (the analog of
+    scripts/find_psi.py's existence condition)."""
+    from .kernels.sol64 import SolinasPlan64
+    from .params import _is_probable_prime
+
+    need_b = (2 * args.n).bit_length() - 1  # log2(2n)
+    found = 0
+    for a in range(args.min_width, args.max_width + 1):
+        for b in range(need_b, a):
+            q = (1 << a) - (1 << b) + 1
+            if not _is_probable_prime(q):
+                continue
+            kernel = SolinasPlan64.covers_q(q, args.n) and args.n <= 32768
+            print(f"q = 2^{a} - 2^{b} + 1 = {q}  (width {a}, 2-adicity {b},"
+                  f" n <= 2^{b - 1}, "
+                  f"{'pallas-sol64' if kernel else 'XLA/four-step'})")
+            found += 1
+            if found >= args.limit:
+                return 0
+    if not found:
+        print(f"no trinomial primes with 2-adicity >= {need_b} in widths "
+              f"[{args.min_width}, {args.max_width}]", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_ntt.tools", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -134,6 +167,16 @@ def main(argv=None) -> int:
     sp = sub.add_parser("constants", help="print all derived constants")
     _add_param_flags(sp)
     sp.set_defaults(fn=cmd_constants)
+
+    sp = sub.add_parser(
+        "find-trinomial",
+        help="find Solinas trinomial NTT primes (sol64 fast-path moduli)",
+    )
+    sp.add_argument("--n", type=int, required=True)
+    sp.add_argument("--min-width", type=int, default=31)
+    sp.add_argument("--max-width", type=int, default=62)
+    sp.add_argument("--limit", type=int, default=16)
+    sp.set_defaults(fn=cmd_find_trinomial)
 
     sp = sub.add_parser("verify-hex", help="check a hex file against the generator")
     _add_param_flags(sp)
