@@ -20,6 +20,12 @@ load/start/read FSM (rtl/ntt_poly_mult.v state machine; ntt-test.c drives
 one product per full pipeline) — on TPU the spectrum cache lives in HBM
 and the accumulation rides the VPU.
 
+When operands do NOT repeat across outputs (a single row dot rather than
+a full matrix), `dispatch.best_nwc_dot` fuses the whole
+INTT(sum_k NTT(a_k) . NTT(b_k)) into one kernel launch with the spectra
+held in VMEM — no HBM round trips at all.  The staged route here wins
+only when spectra are REUSED (each A column multiplies k rows).
+
 Run:  python examples/spectrum_accumulate.py [--k 4] [--l 4] [--batch 64]
 """
 

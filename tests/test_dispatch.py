@@ -152,6 +152,85 @@ def test_all_ops_consistent_single_word(p, rng):
     assert (rt_nwc == a).all()
 
 
+@pytest.mark.parametrize(
+    "p", [DILITHIUM_256, make_params(128, 8380417)],
+    ids=["pallas-mxu", "xla-merged"],
+)
+def test_dispatch_dot_single_word(p, rng):
+    """best_nwc_dot == Σ_k golden products for kernel- and XLA-backed
+    single-word presets (K=3, boundary row included)."""
+    K, B = 3, 2
+    a = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)], dtype=np.uint32)
+    b = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)], dtype=np.uint32)
+    a[0, 0, :] = p.q - 1
+    b[0, 0, :] = p.q - 1
+    got = np.asarray(dispatch.best_nwc_dot(p)(a, b))
+    for i in range(B):
+        want = [0] * p.n
+        for k in range(K):
+            prod = reference.nwc_poly_mult(
+                [int(v) for v in a[k, i]], [int(v) for v in b[k, i]], p
+            )
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i]] == want
+
+
+def test_dispatch_dot_double_word(rng):
+    """best_nwc_dot through the pairs path (pallas-sol64 backend)."""
+    p = P60_4096
+    K = 2
+    a = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)]] for _ in range(K)],
+        dtype=np.uint64)
+    b = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)]] for _ in range(K)],
+        dtype=np.uint64)
+    a[0, 0, :] = p.q - 1
+    hi, lo = dispatch.best_nwc_dot(p)(a, b)
+    got = (np.asarray(hi).astype(object) << 32) + np.asarray(lo).astype(
+        object
+    )
+    want = [0] * p.n
+    for k in range(K):
+        prod = reference.nwc_poly_mult(
+            [int(v) for v in a[k, 0]], [int(v) for v in b[k, 0]], p
+        )
+        want = [(x + y) % p.q for x, y in zip(want, prod)]
+    assert [int(v) for v in got[0]] == want
+
+
+def test_dispatch_dot_fourstep(rng):
+    """best_nwc_dot above the flat window (n = 2^17, xla-fourstep):
+    spectrum-domain accumulate over the four-step layout vs the native
+    O(n log n) oracle."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 998244353
+    p = make_params(1 << 17, q)
+    K = 2
+    nrng = np.random.default_rng(47)
+    a = nrng.integers(0, q, size=(K, 1, p.n), dtype=np.uint64).astype(
+        np.uint32
+    )
+    b = nrng.integers(0, q, size=(K, 1, p.n), dtype=np.uint64).astype(
+        np.uint32
+    )
+    got = np.asarray(dispatch.best_nwc_dot(p)(a, b))
+    want = [0] * p.n
+    for k in range(K):
+        prod = native.nwc_fast(
+            [int(v) for v in a[k, 0]], [int(v) for v in b[k, 0]], q, p.psi
+        )
+        want = [(x + y) % q for x, y in zip(want, prod)]
+    assert [int(v) for v in got[0]] == want
+
+
 def test_impl_selection_large_n_fourstep():
     """Above the kernel window (n > 65536) the policy picks the single-chip
     four-step decomposition — the flat merged path's O(n log n) tables are

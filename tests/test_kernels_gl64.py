@@ -130,6 +130,31 @@ def test_nwc_inv_gl_staged_spectrum_product(rng):
     assert [[int(v) for v in row] for row in rt] == edge
 
 
+def test_nwc_dot_gl_wrap_aware_accumulate(rng):
+    """K=3 fused dot at width 64: spectrum sums routinely wrap the 64-bit
+    pair (q > 2^63), exercising the φ-fold accumulate; all-(q-1) rows
+    force near-maximal spectra."""
+    p = GL_SMALL
+    mp = make_plan(p)
+    K = 3
+    a = [[[p.q - 1] * p.n], [[rng.randrange(p.q) for _ in range(p.n)]],
+         [[rng.randrange(p.q) for _ in range(p.n)]]]
+    b = [[[p.q - 1] * p.n], [[p.q - 1] * p.n],
+         [[rng.randrange(p.q) for _ in range(p.n)]]]
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    got = dec(*mp.nwc_dot(enc3(a), enc3(b), interpret=True))
+    want = [0] * p.n
+    for k in range(K):
+        prod = reference.nwc_poly_mult(a[k][0], b[k][0], p)
+        want = [(x + y) % p.q for x, y in zip(want, prod)]
+    assert [int(v) for v in got[0]] == want
+
+
 def test_cached_spectrum_product_gl(rng):
     p = GL_SMALL
     mp = make_plan(p)

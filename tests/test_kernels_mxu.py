@@ -94,6 +94,34 @@ def test_edge_values():
         assert [int(v) for v in got[i]] == want
 
 
+def test_nwc_dot_matches_sum_of_products():
+    """Fused spectrum dot (K=4, the Dilithium A@s row shape) == the sum
+    of golden products; K=1 degenerates to nwc_poly_mult."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    rng = np.random.default_rng(11)
+    K, B = 4, 2
+    a = rng.integers(0, p.q, size=(K, B, p.n), dtype=np.uint32)
+    b = rng.integers(0, p.q, size=(K, B, p.n), dtype=np.uint32)
+    a[0, 0, :] = p.q - 1
+    b[0, 0, :] = p.q - 1
+    got = np.asarray(mp.nwc_dot(a, b, interpret=True))
+    for i in range(B):
+        want = [0] * p.n
+        for k in range(K):
+            prod = reference.nwc_poly_mult(
+                [int(v) for v in a[k, i]], [int(v) for v in b[k, i]], p
+            )
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i]] == want
+    one = np.asarray(mp.nwc_dot(a[:1], b[:1], interpret=True))
+    single = np.asarray(mp.nwc_poly_mult(a[0], b[0], interpret=True))
+    assert (one == single).all()
+    with pytest.raises(ValueError, match="1 <= K <= 8"):
+        mp.nwc_dot(np.zeros((9, 1, p.n), np.uint32),
+                   np.zeros((9, 1, p.n), np.uint32), interpret=True)
+
+
 def test_balanced_and_zero_point_bit_identical():
     """The balanced-digit matmul (default) and the legacy zero-point
     scheme are exact rewrites of the same reduction: boundary + random

@@ -187,6 +187,33 @@ def test_direct_fold_rejected_at_large_rows():
         _DirectFoldPlan(60, 14, _lane_bound(32768), Q60)
 
 
+def test_nwc_dot_matches_sum_of_products(rng):
+    """Fused spectrum dot (K=3, boundary rows included) == Σ_k a_k ⊛ b_k
+    computed via the golden model."""
+    p = SOL_SMALL
+    mp = make_plan(p)
+    K, B = 3, 2
+    a = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)]
+    b = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)]
+    a[0][0] = [p.q - 1] * p.n
+    b[0][0] = [p.q - 1] * p.n
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    got = dec(*mp.nwc_dot(enc3(a), enc3(b), interpret=True))
+    for i in range(B):
+        want = [0] * p.n
+        for k in range(K):
+            prod = reference.nwc_poly_mult(a[k][i], b[k][i], p)
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i]] == want
+
+
 def test_second_trinomial_modulus(rng):
     """A different (a, b): q = 2^52 - 2^20 + 1 (prime, 2-adicity 20) —
     exercises the generic fold-term generation away from the shipped

@@ -73,6 +73,8 @@ OPS = (
     "nwc_inv",    # inverse + untwist + n^-1 (consumes nwc_fwd's layout)
     "spectrum",   # cacheable NWC operand spectrum
     "cached",     # product against a cached spectrum
+    "dot",        # INTT(sum_k NTT(a_k).NTT(b_k)): (K, B, n) inputs — the
+                  # lattice A@s inner product, one inverse per output
 )
 
 #: above this n the local four-step path replaces the flat formulations
@@ -211,6 +213,17 @@ def _fourstep_backend(p: NttParams):
 
         name = "xla-fourstep-64" if split else "xla-fourstep"
 
+    def dot(a, b):
+        # K forward passes + spectrum-domain accumulate + ONE inverse
+        K = (a[0] if split else a).shape[0]
+        pick = ((lambda x, k: tmap(lambda v: v[k], x)) if split
+                else (lambda x, k: x[k]))
+        acc = None
+        for k in range(K):
+            c = ring.mul(nwc_fwd(pick(a, k)), nwc_fwd(pick(b, k)))
+            acc = c if acc is None else ring.add(acc, c)
+        return nwc_inv(acc)
+
     ops = {
         "nwc": _wrap(nwc, 2, split),
         "cyclic": _wrap(cyclic, 2, split),
@@ -220,6 +233,7 @@ def _fourstep_backend(p: NttParams):
         "nwc_inv": _wrap(nwc_inv, 1, split),
         "spectrum": _wrap(nwc_fwd, 1, split),
         "cached": _wrap(cached, 2, split),
+        "dot": _wrap(dot, 2, split),
     }
     return name, ops, split
 
@@ -255,6 +269,7 @@ def _backend(p: NttParams):
             "cached": _wrap(
                 lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, pr
             ),
+            "dot": _wrap(lambda a, b: mp.nwc_dot(a, b, interp), 2, pr),
         }
         return mp.name, ops, pr
 
@@ -265,6 +280,17 @@ def _backend(p: NttParams):
     def cached(a, s):
         fa = _ntt.nwc_fwd_merged(plan, a)
         return _ntt.nwc_inv_merged(plan, plan.ring.mul(fa, s))
+
+    def dot(a, b):
+        K = (a[0] if split else a).shape[0]
+        pick = ((lambda x, k: (x[0][k], x[1][k])) if split
+                else (lambda x, k: x[k]))
+        acc = None
+        for k in range(K):
+            c = plan.ring.mul(_ntt.nwc_fwd_merged(plan, pick(a, k)),
+                              _ntt.nwc_fwd_merged(plan, pick(b, k)))
+            acc = c if acc is None else plan.ring.add(acc, c)
+        return _ntt.nwc_inv_merged(plan, acc)
 
     ops = {
         "nwc": _wrap(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b), 2,
@@ -277,6 +303,7 @@ def _backend(p: NttParams):
         "nwc_inv": _wrap(lambda x: _ntt.nwc_inv_merged(plan, x), 1, split),
         "spectrum": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
         "cached": _wrap(cached, 2, split),
+        "dot": _wrap(dot, 2, split),
     }
     return name, ops, split
 
@@ -325,6 +352,14 @@ def best_nwc_spectrum(p: NttParams):
 
 def best_nwc_poly_mult_cached(p: NttParams):
     return best(p, "cached")
+
+
+def best_nwc_dot(p: NttParams):
+    """Fastest fused inner product INTT(Σ_k NTT(a_k)·NTT(b_k)) for
+    (K, B, n) operand stacks — one inverse transform per output (the
+    lattice A@s shape; see examples/spectrum_accumulate.py for the
+    staged-spectrum route when operands repeat across products)."""
+    return best(p, "dot")
 
 
 def impl_name(p: NttParams, op: str = "nwc") -> str:

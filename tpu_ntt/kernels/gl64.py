@@ -175,6 +175,21 @@ class GoldilocksPlan64(MxuPlan64):
             return hi6, lo7
         return self._cond_sub_q(hi6, lo7)
 
+    def _acc_add(self, x, y):
+        """Spectrum accumulation for q > 2^63: x + y (each < q) may wrap
+        the 64-bit pair.  Since 2^64 = q + φ - 1, a wrapped sum plus
+        (φ - 1) is EXACTLY x + y - q — already normal; the unwrapped sum
+        needs at most one conditional subtract, shared below."""
+        s_lo = x[1] + y[1]
+        c_lo = (s_lo < x[1]).astype(U32)
+        h1 = x[0] + y[0]
+        c1 = (h1 < x[0]).astype(U32)
+        s_hi = h1 + c_lo
+        carry = c1 | (s_hi < h1).astype(U32)
+        f_lo = s_lo + carry * U32(0xFFFFFFFF)  # += φ - 1 iff wrapped
+        f_hi = s_hi + ((f_lo < s_lo).astype(U32) & carry)
+        return self._cond_sub_q(f_hi, f_lo)
+
     # -- elementwise ----------------------------------------------------
 
     def _shoup(self, x, w, ws):

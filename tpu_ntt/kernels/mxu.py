@@ -503,6 +503,36 @@ class MxuPlan:
             out_ref[g] = self._matmul_mont(c, w1i, left=True)
 
 
+    def _nwc_dot_kernel(self, a_ref, b_ref, *refs):
+        """Fused spectrum dot INTT(Σ_k NTT(a_k)·NTT(b_k)) — one inverse
+        per output, spectra accumulated in VMEM (data blocks are
+        (gps, K, 128, 128), the K pairs unrolled at trace time)."""
+        w1, refs = self._take_w(refs)
+        w2, refs = self._take_w(refs)
+        w1i, refs = self._take_w(refs)
+        w2i, refs = self._take_w(refs)
+        m_w, m_s, mi_w, mi_s = (r[...] for r in refs[:4])
+        out_ref = refs[4]
+        q = U32(self.q)
+        for g in range(a_ref.shape[0]):
+
+            def fwd(x):
+                x = self._matmul_mont(x, w1, left=True)
+                x = shoup_mul32(x, m_w, m_s, self.q)
+                return self._matmul_mont(x, w2, left=False)
+
+            acc = None
+            for k in range(a_ref.shape[1]):
+                c = self._emul(fwd(a_ref[g, k]), fwd(b_ref[g, k]))
+                if acc is not None:
+                    s = acc + c  # both < q < 2^24: no u32 overflow
+                    acc = jnp.where(s >= q, s - q, s)
+                else:
+                    acc = c
+            c = self._matmul_mont(acc, w2i, left=False)
+            c = shoup_mul32(c, mi_w, mi_s, self.q)
+            out_ref[g] = self._matmul_mont(c, w1i, left=True)
+
     def _nwc_spec_kernel(self, x_ref, *refs):
         """Forward half of the fused NWC pipeline, output left in the
         internal Montgomery domain — the cacheable operand spectrum."""
@@ -677,6 +707,69 @@ class MxuPlan:
             (*self.w1_nwc, *self.w2, *self.mid_nwc),
             interpret=interpret,
         )
+        return out.reshape(-1, self.p.n)[:bsz]
+
+    def nwc_dot(self, a, b, interpret: bool = False):
+        """Fused INTT(Σ_k NTT(a_k)·NTT(b_k)): a, b are (K, B, n) uint32
+        (natural order, [0, q)); returns (B, n) = Σ_k a_k ⊛ b_k
+        (negacyclic) — the lattice A@s / Dilithium verify inner product,
+        one inverse transform per output, spectra never leave VMEM."""
+        K = a.shape[0]
+        if not 1 <= K <= 8:
+            raise ValueError(f"nwc_dot supports 1 <= K <= 8 pairs, got {K}")
+
+        def stack(x):
+            gs, bsz = [], None
+            for k in range(K):
+                gk, bsz = self._group_batch(x[k])
+                gs.append(gk)
+            return jnp.stack(gs, axis=1), bsz
+
+        ga, bsz = stack(a)
+        gb, _ = stack(b)
+        g = ga.shape[0]
+        gps = self._eff_gps(g * self.t)
+        data_spec = pl.BlockSpec(
+            (gps, K, LANES, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (gps, LANES, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tables = (
+            *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+            *self.mid_nwc, *self.mid_inv_nwc,
+        )
+        w_spec = pl.BlockSpec(
+            (self.nlimbs, LANES, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        base_spec = pl.BlockSpec(
+            (2, LANES, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        tbl_spec = pl.BlockSpec(
+            (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+        def spec_for(t):
+            if t.dtype == jnp.int8 and t.ndim == 2:
+                return pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            if t.dtype in (jnp.bfloat16, jnp.int8):
+                return w_spec
+            if t.ndim == 3:
+                return base_spec
+            return tbl_spec
+
+        out = pl.pallas_call(
+            self._nwc_dot_kernel,
+            grid=(g // gps,),
+            out_shape=jax.ShapeDtypeStruct((g, LANES, LANES), U32),
+            in_specs=[data_spec] * 2 + [spec_for(t) for t in tables],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(ga, gb, *tables)
         return out.reshape(-1, self.p.n)[:bsz]
 
     def nwc_poly_mult_cached(self, a, spectrum, interpret: bool = False):

@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..modmath import mont_mul64, mul32, shoup_mul64, shoup_mul64_lazy
+from ..modmath import add64, mont_mul64, mul32, shoup_mul64, shoup_mul64_lazy
 from ..params import NttParams
 
 U32 = jnp.uint32
@@ -689,6 +689,46 @@ class MxuPlan64:
         cap = max(1, 512 // self.n1)
         return max(1, min(self.groups_per_step, groups, cap))
 
+    def _acc_add(self, x, y):
+        """Spectrum-domain accumulation x + y mod q: x normalized [0, q),
+        y any reduced representative < 2q (every _emul here is stricter);
+        sum < 3q < 2^64 for q < 2^62, two conditional subtracts.  The
+        Goldilocks subclass overrides with the 2^64-wrap-aware form."""
+        return self._cond_sub2(*add64(x, y))
+
+    def _nwc_dot_kernel(
+        self, a_hi, a_lo, b_hi, b_lo,
+        w1, w2, w1i, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
+    ):
+        """Fused spectrum dot: INTT(Σ_k NTT(a_k)·NTT(b_k)) — the lattice
+        A@s / key-switching inner product.  One inverse per output and
+        the accumulator never leaves VMEM; data blocks are (gps, K, rows,
+        LANES) with the K pairs unrolled at trace time."""
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+
+        def fwd(x):
+            x = self._matmul_mont(x, w1, left=True, final=False)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            acc = None
+            for k in range(a_hi.shape[1]):
+                fa = fwd((a_hi[g, k], a_lo[g, k]))
+                fb = fwd((b_hi[g, k], b_lo[g, k]))
+                c = self._emul(fa, fb)
+                acc = c if acc is None else self._acc_add(acc, c)
+            c = self._matmul_mont(acc, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
     def _nwc_spec_kernel(
         self, x_hi, x_lo, w1, w2,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
@@ -882,6 +922,61 @@ class MxuPlan64:
             (self.w1_nwc, self.w2, *self.mid_nwc),
             interpret,
         )
+        return self._unflatten(out, bsz)
+
+    def nwc_dot(self, a, b, interpret: bool = False):
+        """Fused INTT(Σ_k NTT(a_k)·NTT(b_k)): a, b are (hi, lo) uint32
+        pairs of shape (K, B, n) (natural order, [0, q)); returns the
+        (B, n) pair Σ_k a_k ⊛ b_k (negacyclic).  Equivalent to K fused
+        products and K-1 modular adds, but pays ONE inverse transform per
+        output and never materializes spectra to HBM — the A@s /
+        key-switching inner-product shape (examples/spectrum_accumulate
+        is the staged-API route for operand-reuse patterns this one-shot
+        form doesn't cover)."""
+        K = a[0].shape[0]
+        if not 1 <= K <= 8:
+            raise ValueError(f"nwc_dot supports 1 <= K <= 8 pairs, got {K}")
+
+        def stack(x):
+            ghs, gls, bsz = [], [], None
+            for k in range(K):
+                gh, gl, bsz = self._group_batch(x[0][k], x[1][k])
+                ghs.append(gh)
+                gls.append(gl)
+            return jnp.stack(ghs, axis=1), jnp.stack(gls, axis=1), bsz
+
+        ga_hi, ga_lo, bsz = stack(a)
+        gb_hi, gb_lo, _ = stack(b)
+        g = ga_hi.shape[0]
+        gps = self._eff_gps(g * self.t)
+        data_spec = pl.BlockSpec(
+            (gps, K, self.rows, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (gps, self.rows, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tables = (
+            self.w1_nwc, self.w2, self.w1i_nwc, self.w2i,
+            *self.mid_nwc, *self.mid_inv_nwc,
+        )
+
+        def spec_for(t):
+            zeros = lambda *_: (0,) * t.ndim
+            return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            self._nwc_dot_kernel,
+            grid=(g // gps,),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, self.rows, LANES), U32),
+                jax.ShapeDtypeStruct((g, self.rows, LANES), U32),
+            ),
+            in_specs=[data_spec] * 4 + [spec_for(t) for t in tables],
+            out_specs=(out_spec, out_spec),
+            interpret=interpret,
+        )(ga_hi, ga_lo, gb_hi, gb_lo, *tables)
         return self._unflatten(out, bsz)
 
     def nwc_poly_mult_cached(self, a, spectrum, interpret: bool = False):
