@@ -203,6 +203,45 @@ def test_dispatch_dot_double_word(rng):
     assert [int(v) for v in got[0]] == want
 
 
+@pytest.mark.parametrize(
+    "p", [DILITHIUM_256, make_params(128, 8380417)],
+    ids=["pallas-mxu", "xla-merged"],
+)
+def test_dispatch_dot_cached_matches_dot(p, rng):
+    """best_nwc_dot_cached on per-k best_nwc_spectrum stacks ==
+    best_nwc_dot (spectrum layout is backend-consistent by contract)."""
+    K, B = 2, 1
+    a = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)], dtype=np.uint32)
+    b = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)], dtype=np.uint32)
+    a[0, 0, :] = p.q - 1
+    spec = dispatch.best_nwc_spectrum(p)
+    spectra = np.stack([np.asarray(spec(b[k])) for k in range(K)])
+    got = np.asarray(dispatch.best_nwc_dot_cached(p)(a, spectra))
+    want = np.asarray(dispatch.best_nwc_dot(p)(a, b))
+    assert (got == want).all()
+
+
+def test_dispatch_dot_cached_double_word(rng):
+    """dot_cached through the pairs path (pallas-sol64 backend)."""
+    p = P60_4096
+    K = 2
+    rng64 = np.random.default_rng(51)
+    a = rng64.integers(0, p.q, size=(K, 1, p.n), dtype=np.uint64)
+    b = rng64.integers(0, p.q, size=(K, 1, p.n), dtype=np.uint64)
+    spec = dispatch.best_nwc_spectrum(p)
+    specs = [spec(b[k]) for k in range(K)]
+    spectra = (np.stack([np.asarray(s[0]) for s in specs]),
+               np.stack([np.asarray(s[1]) for s in specs]))
+    ghi, glo = dispatch.best_nwc_dot_cached(p)(a, spectra)
+    whi, wlo = dispatch.best_nwc_dot(p)(a, b)
+    assert (np.asarray(ghi) == np.asarray(whi)).all()
+    assert (np.asarray(glo) == np.asarray(wlo)).all()
+
+
 def test_dispatch_dot_fourstep(rng):
     """best_nwc_dot above the flat window (n = 2^17, xla-fourstep):
     spectrum-domain accumulate over the four-step layout vs the native
@@ -229,6 +268,12 @@ def test_dispatch_dot_fourstep(rng):
         )
         want = [(x + y) % q for x, y in zip(want, prod)]
     assert [int(v) for v in got[0]] == want
+
+    # cached variant consumes per-k "spectrum" stacks of the same backend
+    spec = dispatch.best_nwc_spectrum(p)
+    spectra = np.stack([np.asarray(spec(b[k])) for k in range(K)])
+    got_c = np.asarray(dispatch.best_nwc_dot_cached(p)(a, spectra))
+    assert (got_c == got).all()
 
 
 def test_impl_selection_large_n_fourstep():

@@ -155,6 +155,31 @@ def test_nwc_dot_gl_wrap_aware_accumulate(rng):
     assert [int(v) for v in got[0]] == want
 
 
+def test_nwc_dot_cached_matches_dot_gl(rng):
+    """dot against precomputed spectrum stacks == the full dot at width
+    64 (inherits the φ-fold accumulate; checks the gl64 spectrum-domain
+    conventions compose with the cached b-side)."""
+    p = GL_SMALL
+    mp = make_plan(p)
+    K = 2
+    a = [[[p.q - 1] * p.n], [[rng.randrange(p.q) for _ in range(p.n)]]]
+    b = [[[p.q - 1] * p.n], [[rng.randrange(p.q) for _ in range(p.n)]]]
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    eb = enc3(b)
+    specs = [mp.nwc_spectrum((eb[0][k], eb[1][k]), interpret=True)
+             for k in range(K)]
+    spectra = (np.stack([np.asarray(s[0]) for s in specs]),
+               np.stack([np.asarray(s[1]) for s in specs]))
+    got = dec(*mp.nwc_dot_cached(enc3(a), spectra, interpret=True))
+    want = dec(*mp.nwc_dot(enc3(a), eb, interpret=True))
+    assert (got == want).all()
+
+
 def test_cached_spectrum_product_gl(rng):
     p = GL_SMALL
     mp = make_plan(p)

@@ -122,6 +122,25 @@ def test_nwc_dot_matches_sum_of_products():
                    np.zeros((9, 1, p.n), np.uint32), interpret=True)
 
 
+def test_nwc_dot_cached_matches_dot():
+    """dot against precomputed nwc_spectrum stacks == the full dot (the
+    fixed-key / public-A shape: K forwards + 1 inverse)."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    rng = np.random.default_rng(13)
+    K, B = 3, 2
+    a = rng.integers(0, p.q, size=(K, B, p.n), dtype=np.uint32)
+    b = rng.integers(0, p.q, size=(K, B, p.n), dtype=np.uint32)
+    a[0, 0, :] = p.q - 1
+    b[0, 0, :] = p.q - 1
+    spectra = np.stack(
+        [np.asarray(mp.nwc_spectrum(b[k], interpret=True)) for k in range(K)]
+    )
+    got = np.asarray(mp.nwc_dot_cached(a, spectra, interpret=True))
+    want = np.asarray(mp.nwc_dot(a, b, interpret=True))
+    assert (got == want).all()
+
+
 def test_balanced_and_zero_point_bit_identical():
     """The balanced-digit matmul (default) and the legacy zero-point
     scheme are exact rewrites of the same reduction: boundary + random

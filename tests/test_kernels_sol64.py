@@ -214,6 +214,33 @@ def test_nwc_dot_matches_sum_of_products(rng):
         assert [int(v) for v in got[i]] == want
 
 
+def test_nwc_dot_cached_matches_dot(rng):
+    """dot against precomputed Montgomery-64 spectrum stacks == the full
+    dot (the key-switching shape: K forwards + 1 inverse)."""
+    p = SOL_SMALL
+    mp = make_plan(p)
+    K, B = 2, 1
+    a = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)]
+    b = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(K)]
+    a[0][0] = [p.q - 1] * p.n
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    eb = enc3(b)
+    specs = [mp.nwc_spectrum((eb[0][k], eb[1][k]), interpret=True)
+             for k in range(K)]
+    spectra = (np.stack([np.asarray(s[0]) for s in specs]),
+               np.stack([np.asarray(s[1]) for s in specs]))
+    got = dec(*mp.nwc_dot_cached(enc3(a), spectra, interpret=True))
+    want = dec(*mp.nwc_dot(enc3(a), eb, interpret=True))
+    assert (got == want).all()
+
+
 def test_second_trinomial_modulus(rng):
     """A different (a, b): q = 2^52 - 2^20 + 1 (prime, 2-adicity 20) —
     exercises the generic fold-term generation away from the shipped

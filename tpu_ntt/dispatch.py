@@ -75,6 +75,8 @@ OPS = (
     "cached",     # product against a cached spectrum
     "dot",        # INTT(sum_k NTT(a_k).NTT(b_k)): (K, B, n) inputs — the
                   # lattice A@s inner product, one inverse per output
+    "dot_cached",  # dot against a (K, B, n) stack of cached spectra:
+                   # K forwards + 1 inverse (fixed keys / public A rows)
 )
 
 #: above this n the local four-step path replaces the flat formulations
@@ -224,6 +226,18 @@ def _fourstep_backend(p: NttParams):
             acc = c if acc is None else ring.add(acc, c)
         return nwc_inv(acc)
 
+    def dot_cached(a, s):
+        # the b-side spectra are precomputed ("spectrum" op per k):
+        # K forwards + 1 inverse total
+        K = (a[0] if split else a).shape[0]
+        pick = ((lambda x, k: tmap(lambda v: v[k], x)) if split
+                else (lambda x, k: x[k]))
+        acc = None
+        for k in range(K):
+            c = ring.mul(nwc_fwd(pick(a, k)), pick(s, k))
+            acc = c if acc is None else ring.add(acc, c)
+        return nwc_inv(acc)
+
     ops = {
         "nwc": _wrap(nwc, 2, split),
         "cyclic": _wrap(cyclic, 2, split),
@@ -234,6 +248,7 @@ def _fourstep_backend(p: NttParams):
         "spectrum": _wrap(nwc_fwd, 1, split),
         "cached": _wrap(cached, 2, split),
         "dot": _wrap(dot, 2, split),
+        "dot_cached": _wrap(dot_cached, 2, split),
     }
     return name, ops, split
 
@@ -270,6 +285,9 @@ def _backend(p: NttParams):
                 lambda a, s: mp.nwc_poly_mult_cached(a, s, interp), 2, pr
             ),
             "dot": _wrap(lambda a, b: mp.nwc_dot(a, b, interp), 2, pr),
+            "dot_cached": _wrap(
+                lambda a, s: mp.nwc_dot_cached(a, s, interp), 2, pr
+            ),
         }
         return mp.name, ops, pr
 
@@ -292,6 +310,17 @@ def _backend(p: NttParams):
             acc = c if acc is None else plan.ring.add(acc, c)
         return _ntt.nwc_inv_merged(plan, acc)
 
+    def dot_cached(a, s):
+        K = (a[0] if split else a).shape[0]
+        pick = ((lambda x, k: (x[0][k], x[1][k])) if split
+                else (lambda x, k: x[k]))
+        acc = None
+        for k in range(K):
+            c = plan.ring.mul(_ntt.nwc_fwd_merged(plan, pick(a, k)),
+                              pick(s, k))
+            acc = c if acc is None else plan.ring.add(acc, c)
+        return _ntt.nwc_inv_merged(plan, acc)
+
     ops = {
         "nwc": _wrap(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b), 2,
                      split),
@@ -304,6 +333,7 @@ def _backend(p: NttParams):
         "spectrum": _wrap(lambda x: _ntt.nwc_fwd_merged(plan, x), 1, split),
         "cached": _wrap(cached, 2, split),
         "dot": _wrap(dot, 2, split),
+        "dot_cached": _wrap(dot_cached, 2, split),
     }
     return name, ops, split
 
@@ -360,6 +390,14 @@ def best_nwc_dot(p: NttParams):
     lattice A@s shape; see examples/spectrum_accumulate.py for the
     staged-spectrum route when operands repeat across products)."""
     return best(p, "dot")
+
+
+def best_nwc_dot_cached(p: NttParams):
+    """Fastest fused inner product against a (K, B, n) stack of CACHED
+    spectra (each produced by ``best_nwc_spectrum``): K forwards + one
+    inverse instead of 2K+1 transforms — the key-switching /
+    fixed-operand shape (keys or public A rows transformed once)."""
+    return best(p, "dot_cached")
 
 
 def impl_name(p: NttParams, op: str = "nwc") -> str:

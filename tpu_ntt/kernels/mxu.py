@@ -503,35 +503,43 @@ class MxuPlan:
             out_ref[g] = self._matmul_mont(c, w1i, left=True)
 
 
-    def _nwc_dot_kernel(self, a_ref, b_ref, *refs):
+    def _make_dot_kernel(self, cached: bool):
         """Fused spectrum dot INTT(Σ_k NTT(a_k)·NTT(b_k)) — one inverse
         per output, spectra accumulated in VMEM (data blocks are
-        (gps, K, 128, 128), the K pairs unrolled at trace time)."""
-        w1, refs = self._take_w(refs)
-        w2, refs = self._take_w(refs)
-        w1i, refs = self._take_w(refs)
-        w2i, refs = self._take_w(refs)
-        m_w, m_s, mi_w, mi_s = (r[...] for r in refs[:4])
-        out_ref = refs[4]
-        q = U32(self.q)
-        for g in range(a_ref.shape[0]):
+        (gps, K, 128, 128), the K pairs unrolled at trace time).  With
+        ``cached`` the b-side blocks are precomputed nwc_spectrum stacks
+        (Montgomery domain) and skip the forward entirely — the
+        key-switching / fixed-A shape: K forwards + 1 inverse."""
 
-            def fwd(x):
-                x = self._matmul_mont(x, w1, left=True)
-                x = shoup_mul32(x, m_w, m_s, self.q)
-                return self._matmul_mont(x, w2, left=False)
+        def kernel(a_ref, b_ref, *refs):
+            w1, refs = self._take_w(refs)
+            w2, refs = self._take_w(refs)
+            w1i, refs = self._take_w(refs)
+            w2i, refs = self._take_w(refs)
+            m_w, m_s, mi_w, mi_s = (r[...] for r in refs[:4])
+            out_ref = refs[4]
+            q = U32(self.q)
+            for g in range(a_ref.shape[0]):
 
-            acc = None
-            for k in range(a_ref.shape[1]):
-                c = self._emul(fwd(a_ref[g, k]), fwd(b_ref[g, k]))
-                if acc is not None:
-                    s = acc + c  # both < q < 2^24: no u32 overflow
-                    acc = jnp.where(s >= q, s - q, s)
-                else:
-                    acc = c
-            c = self._matmul_mont(acc, w2i, left=False)
-            c = shoup_mul32(c, mi_w, mi_s, self.q)
-            out_ref[g] = self._matmul_mont(c, w1i, left=True)
+                def fwd(x):
+                    x = self._matmul_mont(x, w1, left=True)
+                    x = shoup_mul32(x, m_w, m_s, self.q)
+                    return self._matmul_mont(x, w2, left=False)
+
+                acc = None
+                for k in range(a_ref.shape[1]):
+                    fb = b_ref[g, k] if cached else fwd(b_ref[g, k])
+                    c = self._emul(fwd(a_ref[g, k]), fb)
+                    if acc is not None:
+                        s = acc + c  # both < q < 2^24: no u32 overflow
+                        acc = jnp.where(s >= q, s - q, s)
+                    else:
+                        acc = c
+                c = self._matmul_mont(acc, w2i, left=False)
+                c = shoup_mul32(c, mi_w, mi_s, self.q)
+                out_ref[g] = self._matmul_mont(c, w1i, left=True)
+
+        return kernel
 
     def _nwc_spec_kernel(self, x_ref, *refs):
         """Forward half of the fused NWC pipeline, output left in the
@@ -714,6 +722,17 @@ class MxuPlan:
         (natural order, [0, q)); returns (B, n) = Σ_k a_k ⊛ b_k
         (negacyclic) — the lattice A@s / Dilithium verify inner product,
         one inverse transform per output, spectra never leave VMEM."""
+        return self._dot_call(a, b, cached=False, interpret=interpret)
+
+    def nwc_dot_cached(self, a, spectra, interpret: bool = False):
+        """Fused dot against precomputed spectra: spectra is the (K, B, n)
+        stack of ``nwc_spectrum(b_k)`` (Montgomery domain).  K forwards +
+        ONE inverse instead of 2K+1 transforms — the key-switching /
+        fixed-operand inner product, where the b-side (keys, public A
+        rows) is transformed once and reused across many dots."""
+        return self._dot_call(a, spectra, cached=True, interpret=interpret)
+
+    def _dot_call(self, a, b, cached: bool, interpret: bool):
         K = a.shape[0]
         if not 1 <= K <= 8:
             raise ValueError(f"nwc_dot supports 1 <= K <= 8 pairs, got {K}")
@@ -763,7 +782,7 @@ class MxuPlan:
             return tbl_spec
 
         out = pl.pallas_call(
-            self._nwc_dot_kernel,
+            self._make_dot_kernel(cached),
             grid=(g // gps,),
             out_shape=jax.ShapeDtypeStruct((g, LANES, LANES), U32),
             in_specs=[data_spec] * 2 + [spec_for(t) for t in tables],

@@ -696,38 +696,45 @@ class MxuPlan64:
         Goldilocks subclass overrides with the 2^64-wrap-aware form."""
         return self._cond_sub2(*add64(x, y))
 
-    def _nwc_dot_kernel(
-        self, a_hi, a_lo, b_hi, b_lo,
-        w1, w2, w1i, w2i,
-        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
-        midi_slo, out_hi, out_lo,
-    ):
+    def _make_dot_kernel(self, cached: bool):
         """Fused spectrum dot: INTT(Σ_k NTT(a_k)·NTT(b_k)) — the lattice
         A@s / key-switching inner product.  One inverse per output and
         the accumulator never leaves VMEM; data blocks are (gps, K, rows,
-        LANES) with the K pairs unrolled at trace time."""
-        mid_w = (mid_hi[...], mid_lo[...])
-        mid_ws = (mid_shi[...], mid_slo[...])
-        midi_w = (midi_hi[...], midi_lo[...])
-        midi_ws = (midi_shi[...], midi_slo[...])
+        LANES) with the K pairs unrolled at trace time.  With ``cached``
+        the b-side blocks are precomputed Montgomery-64 nwc_spectrum
+        stacks and skip the forward — K forwards + 1 inverse total."""
 
-        def fwd(x):
-            x = self._matmul_mont(x, w1, left=True, final=False)
-            x = self._shoup(x, mid_w, mid_ws)
-            return self._matmul_mont(x, w2, left=False, final=False)
+        def kernel(
+            a_hi, a_lo, b_hi, b_lo,
+            w1, w2, w1i, w2i,
+            mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+            midi_slo, out_hi, out_lo,
+        ):
+            mid_w = (mid_hi[...], mid_lo[...])
+            mid_ws = (mid_shi[...], mid_slo[...])
+            midi_w = (midi_hi[...], midi_lo[...])
+            midi_ws = (midi_shi[...], midi_slo[...])
 
-        for g in range(a_hi.shape[0]):
-            acc = None
-            for k in range(a_hi.shape[1]):
-                fa = fwd((a_hi[g, k], a_lo[g, k]))
-                fb = fwd((b_hi[g, k], b_lo[g, k]))
-                c = self._emul(fa, fb)
-                acc = c if acc is None else self._acc_add(acc, c)
-            c = self._matmul_mont(acc, w2i, left=False, final=False)
-            c = self._shoup(c, midi_w, midi_ws)
-            r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
-            out_hi[g] = r_hi
-            out_lo[g] = r_lo
+            def fwd(x):
+                x = self._matmul_mont(x, w1, left=True, final=False)
+                x = self._shoup(x, mid_w, mid_ws)
+                return self._matmul_mont(x, w2, left=False, final=False)
+
+            for g in range(a_hi.shape[0]):
+                acc = None
+                for k in range(a_hi.shape[1]):
+                    fa = fwd((a_hi[g, k], a_lo[g, k]))
+                    fb = ((b_hi[g, k], b_lo[g, k]) if cached
+                          else fwd((b_hi[g, k], b_lo[g, k])))
+                    c = self._emul(fa, fb)
+                    acc = c if acc is None else self._acc_add(acc, c)
+                c = self._matmul_mont(acc, w2i, left=False, final=False)
+                c = self._shoup(c, midi_w, midi_ws)
+                r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
+                out_hi[g] = r_hi
+                out_lo[g] = r_lo
+
+        return kernel
 
     def _nwc_spec_kernel(
         self, x_hi, x_lo, w1, w2,
@@ -933,6 +940,17 @@ class MxuPlan64:
         key-switching inner-product shape (examples/spectrum_accumulate
         is the staged-API route for operand-reuse patterns this one-shot
         form doesn't cover)."""
+        return self._dot_call(a, b, cached=False, interpret=interpret)
+
+    def nwc_dot_cached(self, a, spectra, interpret: bool = False):
+        """Fused dot against precomputed spectra: spectra is the (K, B, n)
+        (hi, lo) pair stack of ``nwc_spectrum(b_k)`` (Montgomery-64
+        domain).  K forwards + ONE inverse instead of 2K+1 transforms —
+        the key-switching / fixed-operand inner product (keys transformed
+        once, reused across many dots)."""
+        return self._dot_call(a, spectra, cached=True, interpret=interpret)
+
+    def _dot_call(self, a, b, cached: bool, interpret: bool):
         K = a[0].shape[0]
         if not 1 <= K <= 8:
             raise ValueError(f"nwc_dot supports 1 <= K <= 8 pairs, got {K}")
@@ -967,7 +985,7 @@ class MxuPlan64:
             return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
 
         out = pl.pallas_call(
-            self._nwc_dot_kernel,
+            self._make_dot_kernel(cached),
             grid=(g // gps,),
             out_shape=(
                 jax.ShapeDtypeStruct((g, self.rows, LANES), U32),
