@@ -20,11 +20,15 @@ load/start/read FSM (rtl/ntt_poly_mult.v state machine; ntt-test.c drives
 one product per full pipeline) — on TPU the spectrum cache lives in HBM
 and the accumulation rides the VPU.
 
-When operands do NOT repeat across outputs (a single row dot rather than
-a full matrix), `dispatch.best_nwc_dot` fuses the whole
-INTT(sum_k NTT(a_k) . NTT(b_k)) into one kernel launch with the spectra
-held in VMEM — no HBM round trips at all.  The staged route here wins
-only when spectra are REUSED (each A column multiplies k rows).
+Fused one-launch alternatives (dispatch.py) now cover the common shapes:
+`best_nwc_dot` (one row dot, fresh operands), `best_nwc_dot_cached`
+(fixed b-side spectra), and `best_nwc_matvec` (+`_spectra`) — the FULL
+A @ s here in one kernel, with A's spectra as VMEM constants, s
+transformed once, and k in-kernel inverses; measured 3.8x this staged
+route's product rate at the ML-DSA-44 shape (BENCH_NOTES.md).  This
+example remains the reference for the general staged pattern (arbitrary
+k/l beyond the kernel's k, l <= 8 caps, or reuse patterns that span
+multiple calls).
 
 Run:  python examples/spectrum_accumulate.py [--k 4] [--l 4] [--batch 64]
 """

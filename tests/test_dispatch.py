@@ -242,6 +242,55 @@ def test_dispatch_dot_cached_double_word(rng):
     assert (np.asarray(glo) == np.asarray(wlo)).all()
 
 
+@pytest.mark.parametrize(
+    "p", [DILITHIUM_256, make_params(128, 8380417)],
+    ids=["pallas-mxu", "xla-merged"],
+)
+def test_dispatch_matvec_matches_golden(p, rng):
+    """best_nwc_matvec on best_nwc_matvec_spectra == golden row sums."""
+    k, l, B = 2, 2, 1
+    a = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(l)]
+         for _ in range(k)], dtype=np.uint32)
+    s = np.array(
+        [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(l)], dtype=np.uint32)
+    a[0, 0, :] = p.q - 1
+    s[0, 0, :] = p.q - 1
+    blocks = dispatch.best_nwc_matvec_spectra(p)(a)
+    out = np.asarray(dispatch.best_nwc_matvec(p)(s, blocks))
+    for i in range(k):
+        want = [0] * p.n
+        for j in range(l):
+            prod = reference.nwc_poly_mult(
+                [int(v) for v in a[i, j]], [int(v) for v in s[j, 0]], p
+            )
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in out[i, 0]] == want
+
+
+def test_dispatch_matvec_double_word(rng):
+    """matvec through the pairs path (pallas-sol64 backend)."""
+    p = P60_4096
+    k, l = 2, 2
+    rng64 = np.random.default_rng(53)
+    a = rng64.integers(0, p.q, size=(k, l, p.n), dtype=np.uint64)
+    s = rng64.integers(0, p.q, size=(l, 1, p.n), dtype=np.uint64)
+    blocks = dispatch.best_nwc_matvec_spectra(p)(a)
+    oh, ol = dispatch.best_nwc_matvec(p)(s, blocks)
+    got = (np.asarray(oh).astype(object) << 32) + np.asarray(ol).astype(
+        object
+    )
+    for i in range(k):
+        want = [0] * p.n
+        for j in range(l):
+            prod = reference.nwc_poly_mult(
+                [int(v) for v in a[i, j]], [int(v) for v in s[j, 0]], p
+            )
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i, 0]] == want
+
+
 def test_dispatch_dot_fourstep(rng):
     """best_nwc_dot above the flat window (n = 2^17, xla-fourstep):
     spectrum-domain accumulate over the four-step layout vs the native
@@ -274,6 +323,12 @@ def test_dispatch_dot_fourstep(rng):
     spectra = np.stack([np.asarray(spec(b[k])) for k in range(K)])
     got_c = np.asarray(dispatch.best_nwc_dot_cached(p)(a, spectra))
     assert (got_c == got).all()
+
+    # matvec with k=1 degenerates to the same inner product: A = b as a
+    # (1, K, n) matrix against the (K, 1, n) vector
+    blocks = dispatch.best_nwc_matvec_spectra(p)(b.transpose(1, 0, 2))
+    got_m = np.asarray(dispatch.best_nwc_matvec(p)(a, blocks))
+    assert (got_m[0] == got).all()
 
 
 def test_impl_selection_large_n_fourstep():

@@ -180,6 +180,32 @@ def test_nwc_dot_cached_matches_dot_gl(rng):
     assert (got == want).all()
 
 
+def test_nwc_matvec_cached_matches_golden_gl(rng):
+    """Fused A @ s at width 64 (k=l=2, all-(q-1) row forces the φ-fold
+    wrap path in the accumulate)."""
+    p = GL_SMALL
+    mp = make_plan(p)
+    k, l = 2, 2
+    A = [[[p.q - 1] * p.n, [rng.randrange(p.q) for _ in range(p.n)]],
+         [[rng.randrange(p.q) for _ in range(p.n)],
+          [rng.randrange(p.q) for _ in range(p.n)]]]
+    s = [[[p.q - 1] * p.n], [[rng.randrange(p.q) for _ in range(p.n)]]]
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    blocks = mp.nwc_matvec_spectra(enc3(A), interpret=True)
+    got = dec(*mp.nwc_matvec_cached(enc3(s), blocks, interpret=True))
+    for i in range(k):
+        want = [0] * p.n
+        for j in range(l):
+            prod = reference.nwc_poly_mult(A[i][j], s[j][0], p)
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i, 0]] == want
+
+
 def test_cached_spectrum_product_gl(rng):
     p = GL_SMALL
     mp = make_plan(p)

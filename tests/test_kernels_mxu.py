@@ -141,6 +141,33 @@ def test_nwc_dot_cached_matches_dot():
     assert (got == want).all()
 
 
+def test_nwc_matvec_cached_matches_golden():
+    """Fused A @ s (k=2, l=3): every output row == Σ_j A[i,j] ⊛ s[j] via
+    the golden model; boundary all-(q-1) entries included."""
+    p = DILITHIUM_256
+    mp = MxuPlan(p)
+    rng = np.random.default_rng(19)
+    k, l, B = 2, 3, 2
+    A = rng.integers(0, p.q, size=(k, l, p.n), dtype=np.uint32)
+    s = rng.integers(0, p.q, size=(l, B, p.n), dtype=np.uint32)
+    A[0, 0, :] = p.q - 1
+    s[0, 0, :] = p.q - 1
+    blocks = mp.nwc_matvec_spectra(A, interpret=True)
+    out = np.asarray(mp.nwc_matvec_cached(s, blocks, interpret=True))
+    assert out.shape == (k, B, p.n)
+    for i in range(k):
+        for bb in range(B):
+            want = [0] * p.n
+            for j in range(l):
+                prod = reference.nwc_poly_mult(
+                    [int(v) for v in A[i, j]], [int(v) for v in s[j, bb]], p
+                )
+                want = [(x + y) % p.q for x, y in zip(want, prod)]
+            assert [int(v) for v in out[i, bb]] == want
+    with pytest.raises(ValueError, match="rows"):
+        mp.nwc_matvec_cached(s[:1], blocks, interpret=True)
+
+
 def test_balanced_and_zero_point_bit_identical():
     """The balanced-digit matmul (default) and the legacy zero-point
     scheme are exact rewrites of the same reduction: boundary + random

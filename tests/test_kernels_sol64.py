@@ -241,6 +241,34 @@ def test_nwc_dot_cached_matches_dot(rng):
     assert (got == want).all()
 
 
+def test_nwc_matvec_cached_matches_golden(rng):
+    """Fused A @ s at width 60 (k=l=2): rows vs golden sums, boundary
+    entries included."""
+    p = SOL_SMALL
+    mp = make_plan(p)
+    k, l, B = 2, 2, 1
+    A = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(l)]
+         for _ in range(k)]
+    s = [[[rng.randrange(p.q) for _ in range(p.n)] for _ in range(B)]
+         for _ in range(l)]
+    A[0][0] = [p.q - 1] * p.n
+    s[0][0] = [p.q - 1] * p.n
+    enc3 = lambda rows: (
+        np.array([[[x >> 32 for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+        np.array([[[x & 0xFFFFFFFF for x in r] for r in kk] for kk in rows],
+                 dtype=np.uint32),
+    )
+    blocks = mp.nwc_matvec_spectra(enc3(A), interpret=True)
+    got = dec(*mp.nwc_matvec_cached(enc3(s), blocks, interpret=True))
+    for i in range(k):
+        want = [0] * p.n
+        for j in range(l):
+            prod = reference.nwc_poly_mult(A[i][j], s[j][0], p)
+            want = [(x + y) % p.q for x, y in zip(want, prod)]
+        assert [int(v) for v in got[i, 0]] == want
+
+
 def test_second_trinomial_modulus(rng):
     """A different (a, b): q = 2^52 - 2^20 + 1 (prime, 2-adicity 20) —
     exercises the generic fold-term generation away from the shipped

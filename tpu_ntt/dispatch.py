@@ -57,6 +57,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import ntt as _ntt
@@ -77,6 +78,9 @@ OPS = (
                   # lattice A@s inner product, one inverse per output
     "dot_cached",  # dot against a (K, B, n) stack of cached spectra:
                    # K forwards + 1 inverse (fixed keys / public A rows)
+    "matvec_spectra",  # precompute spectra of a fixed (k, l, n) poly matrix
+    "matvec",     # A @ s: (l, B, n) against matvec_spectra output ->
+                  # (k, B, n); l + k transforms for k*l products
 )
 
 #: above this n the local four-step path replaces the flat formulations
@@ -238,6 +242,31 @@ def _fourstep_backend(p: NttParams):
             acc = c if acc is None else ring.add(acc, c)
         return nwc_inv(acc)
 
+    def matvec_spectra(A):
+        kk, ll = (A[0] if split else A).shape[:2]
+        flat = tmap(lambda v: v.reshape(kk * ll, v.shape[-1]), A)
+        return tmap(lambda v: v.reshape(kk, ll, v.shape[-1]),
+                    nwc_fwd(flat))
+
+    def matvec(s, spec):
+        # l forwards + k inverses for k*l products; spectra broadcast
+        # over the batch dim via the elementwise ring ops
+        ll = (s[0] if split else s).shape[0]
+        kk = (spec[0] if split else spec).shape[0]
+        pick = lambda x, *idx: tmap(lambda v: v[idx], x)
+        fs = [nwc_fwd(pick(s, j)) for j in range(ll)]
+        outs = []
+        for i in range(kk):
+            acc = None
+            for j in range(ll):
+                c = ring.mul(fs[j], pick(spec, i, j))
+                acc = c if acc is None else ring.add(acc, c)
+            outs.append(nwc_inv(acc))
+        if split:
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
+        return jnp.stack(outs)
+
     ops = {
         "nwc": _wrap(nwc, 2, split),
         "cyclic": _wrap(cyclic, 2, split),
@@ -249,6 +278,8 @@ def _fourstep_backend(p: NttParams):
         "cached": _wrap(cached, 2, split),
         "dot": _wrap(dot, 2, split),
         "dot_cached": _wrap(dot_cached, 2, split),
+        "matvec_spectra": _wrap(matvec_spectra, 1, split),
+        "matvec": _wrap(matvec, 2, split),
     }
     return name, ops, split
 
@@ -288,6 +319,12 @@ def _backend(p: NttParams):
             "dot_cached": _wrap(
                 lambda a, s: mp.nwc_dot_cached(a, s, interp), 2, pr
             ),
+            "matvec_spectra": _wrap(
+                lambda A: mp.nwc_matvec_spectra(A, interp), 1, pr
+            ),
+            "matvec": _wrap(
+                lambda s, blk: mp.nwc_matvec_cached(s, blk, interp), 2, pr
+            ),
         }
         return mp.name, ops, pr
 
@@ -321,6 +358,31 @@ def _backend(p: NttParams):
             acc = c if acc is None else plan.ring.add(acc, c)
         return _ntt.nwc_inv_merged(plan, acc)
 
+    tmapx = jax.tree.map
+
+    def matvec_spectra(A):
+        kk, ll = (A[0] if split else A).shape[:2]
+        flat = tmapx(lambda v: v.reshape(kk * ll, v.shape[-1]), A)
+        return tmapx(lambda v: v.reshape(kk, ll, v.shape[-1]),
+                     _ntt.nwc_fwd_merged(plan, flat))
+
+    def matvec(s, spec):
+        ll = (s[0] if split else s).shape[0]
+        kk = (spec[0] if split else spec).shape[0]
+        pick = lambda x, *idx: tmapx(lambda v: v[idx], x)
+        fs = [_ntt.nwc_fwd_merged(plan, pick(s, j)) for j in range(ll)]
+        outs = []
+        for i in range(kk):
+            acc = None
+            for j in range(ll):
+                c = plan.ring.mul(fs[j], pick(spec, i, j))
+                acc = c if acc is None else plan.ring.add(acc, c)
+            outs.append(_ntt.nwc_inv_merged(plan, acc))
+        if split:
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
+        return jnp.stack(outs)
+
     ops = {
         "nwc": _wrap(lambda a, b: _ntt.nwc_poly_mult_merged(plan, a, b), 2,
                      split),
@@ -334,6 +396,8 @@ def _backend(p: NttParams):
         "cached": _wrap(cached, 2, split),
         "dot": _wrap(dot, 2, split),
         "dot_cached": _wrap(dot_cached, 2, split),
+        "matvec_spectra": _wrap(matvec_spectra, 1, split),
+        "matvec": _wrap(matvec, 2, split),
     }
     return name, ops, split
 
@@ -398,6 +462,22 @@ def best_nwc_dot_cached(p: NttParams):
     inverse instead of 2K+1 transforms — the key-switching /
     fixed-operand shape (keys or public A rows transformed once)."""
     return best(p, "dot_cached")
+
+
+def best_nwc_matvec_spectra(p: NttParams):
+    """Precompute backend-layout spectra of a fixed (k, l, n) polynomial
+    matrix for ``best_nwc_matvec`` (transform A once at key setup)."""
+    return best(p, "matvec_spectra")
+
+
+def best_nwc_matvec(p: NttParams):
+    """Fastest fused A @ s over the polynomial ring: s is (l, B, n),
+    the second argument is ``best_nwc_matvec_spectra``'s output for the
+    same params; returns (k, B, n) with out[i] = Σ_j A[i,j] ⊛ s[j].
+    Pays l + k transforms for k·l products (the Dilithium signing /
+    verify matrix product; the reference would stage k·l full FSM
+    pipelines, chipyard/ntt-test.c)."""
+    return best(p, "matvec")
 
 
 def impl_name(p: NttParams, op: str = "nwc") -> str:

@@ -541,6 +541,46 @@ class MxuPlan:
 
         return kernel
 
+    def _make_matvec_kernel(self, k: int, l: int):
+        """Fused matrix-vector product over the polynomial ring: the s
+        vector is transformed ONCE (l forwards), each output row
+        accumulates against cached A-spectrum blocks in VMEM, and one
+        inverse runs per output — l + k transforms total for k·l products
+        (the Dilithium A@s signing/verify shape, where A is the fixed
+        public matrix; chipyard/ntt-test.c would drive k·l full FSM
+        pipelines for the same work)."""
+
+        def kernel(s_ref, a_ref, *refs):
+            w1, refs = self._take_w(refs)
+            w2, refs = self._take_w(refs)
+            w1i, refs = self._take_w(refs)
+            w2i, refs = self._take_w(refs)
+            m_w, m_s, mi_w, mi_s = (r[...] for r in refs[:4])
+            out_ref = refs[4]
+            q = U32(self.q)
+            for g in range(s_ref.shape[0]):
+
+                def fwd(x):
+                    x = self._matmul_mont(x, w1, left=True)
+                    x = shoup_mul32(x, m_w, m_s, self.q)
+                    return self._matmul_mont(x, w2, left=False)
+
+                fs = [fwd(s_ref[g, j]) for j in range(l)]
+                for i in range(k):
+                    acc = None
+                    for j in range(l):
+                        c = self._emul(fs[j], a_ref[i, j])
+                        if acc is not None:
+                            t = acc + c  # both < q < 2^24: no u32 overflow
+                            acc = jnp.where(t >= q, t - q, t)
+                        else:
+                            acc = c
+                    c = self._matmul_mont(acc, w2i, left=False)
+                    c = shoup_mul32(c, mi_w, mi_s, self.q)
+                    out_ref[g, i] = self._matmul_mont(c, w1i, left=True)
+
+        return kernel
+
     def _nwc_spec_kernel(self, x_ref, *refs):
         """Forward half of the fused NWC pipeline, output left in the
         internal Montgomery domain — the cacheable operand spectrum."""
@@ -790,6 +830,92 @@ class MxuPlan:
             interpret=interpret,
         )(ga, gb, *tables)
         return out.reshape(-1, self.p.n)[:bsz]
+
+    def nwc_matvec_spectra(self, A, interpret: bool = False):
+        """Precompute block-layout spectra for ``nwc_matvec_cached``: A is
+        (k, l, n) uint32 (the fixed polynomial matrix, e.g. a Dilithium
+        public key); returns (k, l, rows, 128) Montgomery-domain spectrum
+        blocks, each tiled across the t poly slots of one MXU group so
+        the kernel can multiply them against any batch block directly."""
+        k, l = A.shape[0], A.shape[1]
+        rows = []
+        for i in range(k):
+            row = []
+            for j in range(l):
+                tiled = jnp.tile(A[i, j][None], (self.t, 1))
+                spec = self.nwc_spectrum(tiled, interpret=interpret)
+                gb, _ = self._group_batch(spec)
+                row.append(gb[0])
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
+    def nwc_matvec_cached(self, s, A_blocks, interpret: bool = False):
+        """Fused A @ s over Z_q[x]/(x^n + 1): s is (l, B, n) uint32,
+        A_blocks the (k, l, rows, 128) output of ``nwc_matvec_spectra``;
+        returns (k, B, n) with out[i] = Σ_j A[i,j] ⊛ s[j].  The s vector
+        is transformed once and every spectrum stays in VMEM: l + k
+        transforms for k·l products (vs k·l + l staged, or 3·k·l naive)."""
+        k, l = A_blocks.shape[0], A_blocks.shape[1]
+        if s.shape[0] != l:
+            raise ValueError(f"s has {s.shape[0]} rows, A has l={l} columns")
+        if not (1 <= l <= 8 and 1 <= k <= 8):
+            raise ValueError(f"nwc_matvec supports 1 <= k, l <= 8, got "
+                             f"k={k}, l={l}")
+
+        gs_list, bsz = [], None
+        for j in range(l):
+            gj, bsz = self._group_batch(s[j])
+            gs_list.append(gj)
+        gs = jnp.stack(gs_list, axis=1)  # (G, l, rows, LANES)
+        g = gs.shape[0]
+        gps = self._eff_gps(g * self.t)
+        data_spec = pl.BlockSpec(
+            (gps, l, LANES, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        a_spec = pl.BlockSpec(
+            (k, l, LANES, LANES), lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (gps, k, LANES, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tables = (
+            *self.w1_nwc, *self.w2, *self.w1i_nwc, *self.w2i,
+            *self.mid_nwc, *self.mid_inv_nwc,
+        )
+        w_spec = pl.BlockSpec(
+            (self.nlimbs, LANES, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        base_spec = pl.BlockSpec(
+            (2, LANES, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        tbl_spec = pl.BlockSpec(
+            (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+        def spec_for(t):
+            if t.dtype == jnp.int8 and t.ndim == 2:
+                return pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            if t.dtype in (jnp.bfloat16, jnp.int8):
+                return w_spec
+            if t.ndim == 3:
+                return base_spec
+            return tbl_spec
+
+        out = pl.pallas_call(
+            self._make_matvec_kernel(k, l),
+            grid=(g // gps,),
+            out_shape=jax.ShapeDtypeStruct((g, k, LANES, LANES), U32),
+            in_specs=[data_spec, a_spec] + [spec_for(t) for t in tables],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(gs, A_blocks, *tables)
+        out = out.transpose(1, 0, 2, 3).reshape(k, -1, self.p.n)
+        return out[:, :bsz]
 
     def nwc_poly_mult_cached(self, a, spectrum, interpret: bool = False):
         """Negacyclic product of a against a cached nwc_spectrum — one

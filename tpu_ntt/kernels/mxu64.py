@@ -736,6 +736,42 @@ class MxuPlan64:
 
         return kernel
 
+    def _make_matvec_kernel(self, k: int, l: int):
+        """Fused A @ s (see mxu.py counterpart): l forwards + k inverses
+        for k·l products, A-spectrum blocks and the s spectra resident in
+        VMEM throughout."""
+
+        def kernel(
+            s_hi, s_lo, a_hi, a_lo,
+            w1, w2, w1i, w2i,
+            mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+            midi_slo, out_hi, out_lo,
+        ):
+            mid_w = (mid_hi[...], mid_lo[...])
+            mid_ws = (mid_shi[...], mid_slo[...])
+            midi_w = (midi_hi[...], midi_lo[...])
+            midi_ws = (midi_shi[...], midi_slo[...])
+
+            def fwd(x):
+                x = self._matmul_mont(x, w1, left=True, final=False)
+                x = self._shoup(x, mid_w, mid_ws)
+                return self._matmul_mont(x, w2, left=False, final=False)
+
+            for g in range(s_hi.shape[0]):
+                fs = [fwd((s_hi[g, j], s_lo[g, j])) for j in range(l)]
+                for i in range(k):
+                    acc = None
+                    for j in range(l):
+                        c = self._emul(fs[j], (a_hi[i, j], a_lo[i, j]))
+                        acc = c if acc is None else self._acc_add(acc, c)
+                    c = self._matmul_mont(acc, w2i, left=False, final=False)
+                    c = self._shoup(c, midi_w, midi_ws)
+                    r_hi, r_lo = self._matmul_mont(c, w1i, left=True)
+                    out_hi[g, i] = r_hi
+                    out_lo[g, i] = r_lo
+
+        return kernel
+
     def _nwc_spec_kernel(
         self, x_hi, x_lo, w1, w2,
         mid_hi, mid_lo, mid_shi, mid_slo, out_hi, out_lo,
@@ -996,6 +1032,85 @@ class MxuPlan64:
             interpret=interpret,
         )(ga_hi, ga_lo, gb_hi, gb_lo, *tables)
         return self._unflatten(out, bsz)
+
+    def nwc_matvec_spectra(self, A, interpret: bool = False):
+        """Precompute block-layout spectra for ``nwc_matvec_cached``: A is
+        a (hi, lo) uint32 pair of shape (k, l, n); returns the
+        (k, l, rows, 128) pair of Montgomery-64 spectrum blocks, each
+        tiled across the t poly slots of one MXU group."""
+        k, l = A[0].shape[0], A[0].shape[1]
+        his, los = [], []
+        for i in range(k):
+            rh, rl = [], []
+            for j in range(l):
+                tiled = (jnp.tile(A[0][i, j][None], (self.t, 1)),
+                         jnp.tile(A[1][i, j][None], (self.t, 1)))
+                sp_hi, sp_lo = self.nwc_spectrum(tiled, interpret=interpret)
+                gh, gl, _ = self._group_batch(sp_hi, sp_lo)
+                rh.append(gh[0])
+                rl.append(gl[0])
+            his.append(jnp.stack(rh))
+            los.append(jnp.stack(rl))
+        return jnp.stack(his), jnp.stack(los)
+
+    def nwc_matvec_cached(self, s, A_blocks, interpret: bool = False):
+        """Fused A @ s over Z_q[x]/(x^n + 1): s is a (hi, lo) pair of
+        shape (l, B, n), A_blocks the pair from ``nwc_matvec_spectra``;
+        returns the (k, B, n) pair with out[i] = Σ_j A[i,j] ⊛ s[j].
+        l + k transforms for k·l products (the Dilithium A@s shape)."""
+        k, l = A_blocks[0].shape[0], A_blocks[0].shape[1]
+        if s[0].shape[0] != l:
+            raise ValueError(
+                f"s has {s[0].shape[0]} rows, A has l={l} columns")
+        if not (1 <= l <= 8 and 1 <= k <= 8):
+            raise ValueError(f"nwc_matvec supports 1 <= k, l <= 8, got "
+                             f"k={k}, l={l}")
+
+        ghs, gls, bsz = [], [], None
+        for j in range(l):
+            gh, gl, bsz = self._group_batch(s[0][j], s[1][j])
+            ghs.append(gh)
+            gls.append(gl)
+        gs_hi = jnp.stack(ghs, axis=1)
+        gs_lo = jnp.stack(gls, axis=1)
+        g = gs_hi.shape[0]
+        gps = self._eff_gps(g * self.t)
+        data_spec = pl.BlockSpec(
+            (gps, l, self.rows, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        a_spec = pl.BlockSpec(
+            (k, l, self.rows, LANES), lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (gps, k, self.rows, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tables = (
+            self.w1_nwc, self.w2, self.w1i_nwc, self.w2i,
+            *self.mid_nwc, *self.mid_inv_nwc,
+        )
+
+        def spec_for(t):
+            zeros = lambda *_: (0,) * t.ndim
+            return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            self._make_matvec_kernel(k, l),
+            grid=(g // gps,),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, k, self.rows, LANES), U32),
+                jax.ShapeDtypeStruct((g, k, self.rows, LANES), U32),
+            ),
+            in_specs=[data_spec] * 2 + [a_spec] * 2
+            + [spec_for(t) for t in tables],
+            out_specs=(out_spec, out_spec),
+            interpret=interpret,
+        )(gs_hi, gs_lo, *A_blocks, *tables)
+        reshape = lambda o: o.transpose(1, 0, 2, 3).reshape(
+            k, -1, self.p.n)[:, :bsz]
+        return reshape(out[0]), reshape(out[1])
 
     def nwc_poly_mult_cached(self, a, spectrum, interpret: bool = False):
         """Negacyclic product of a against a cached nwc_spectrum."""
