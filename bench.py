@@ -83,6 +83,28 @@ def bench_case(name, batch, iters, kind="nwc"):
     return rate
 
 
+def bench_matvec(name, k, l, batch, iters):
+    """Time the fused A @ s workload (k = l so the output chains back as
+    the next vector); reports matvecs/s and effective products/s."""
+    p = PRESETS.get(name) or EXTRA[name]
+    pairs = dispatch.takes_pairs(p)
+    rng = np.random.default_rng(5)
+    A = rng.integers(0, p.q, size=(k, l, p.n), dtype=np.uint64)
+    s_np = rng.integers(0, p.q, size=(l, batch, p.n), dtype=np.uint64)
+    enc = (lambda v: ((v >> 32).astype(np.uint32),
+                      (v & 0xFFFFFFFF).astype(np.uint32))
+           ) if pairs else (lambda v: v.astype(np.uint32))
+    blocks = dispatch.best_nwc_matvec_spectra(p)(enc(A))
+    fn = dispatch.best_nwc_matvec(p)
+    s = jax.device_put(enc(s_np))
+    dt = device_seconds_per_iter(fn, s, blocks, iters=iters)
+    impl = dispatch.impl_name(p, "matvec")
+    log(f"  {name} matvec {k}x{l} [{impl}]: batch={batch} "
+        f"{dt * 1e3:.3f} ms/iter -> {batch / dt:,.0f} matvecs/s "
+        f"({k * l * batch / dt:,.0f} eff products/s)")
+    return batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small batches/iters")
@@ -115,6 +137,9 @@ def main():
         # n = 2^20 single-chip four-step (the config-5 size on ONE chip)
         bench_case("p30_1048576", max(batch // 256, 4), iters, "nwc")
         bench_case("p60_1048576", max(batch // 512, 2), iters, "nwc")
+        # the fused A @ s workload (Dilithium ML-DSA-44 shape + 60-bit)
+        bench_matvec("dilithium_256", 4, 4, batch * 4, iters)
+        bench_matvec("p60_4096", 4, 4, max(batch // 8, 32), iters)
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)

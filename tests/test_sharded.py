@@ -151,6 +151,76 @@ def test_sharded_cached_spectrum_matches_direct(rng=random.Random(34)):
     assert list(got) == list(want)
 
 
+@pytest.mark.parametrize("p,n1", [(DILITHIUM_256, 16), (P60_4096, 64)])
+def test_sharded_nwc_dot_vs_golden(p, n1, rng=random.Random(61)):
+    """Distributed fused inner product Σ_k a_k ⊛ b_k on the 8-device
+    mesh: one inverse-side all-to-all per output instead of K; cached
+    variant (K-stacked nwc_spectrum) bit-identical."""
+    fs = sharded.FourStepPlan(p, n1, p.n // n1)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    K = 2
+    a = [rand_poly(rng, p) for _ in range(K)]
+    b = [rand_poly(rng, p) for _ in range(K)]
+    a[0] = [p.q - 1] * p.n
+    b[0] = [p.q - 1] * p.n
+    stack = lambda polys: jax.tree.map(
+        lambda *leaves: np.stack(leaves), *[fs.encode(x) for x in polys])
+    sa = sn.put_natural(stack(a), batched=False, stacked=True)
+    sb = sn.put_natural(stack(b), batched=False, stacked=True)
+    got = fs.decode(sn.nwc_dot(sa, sb, batched=False))
+    want = [0] * p.n
+    for k in range(K):
+        prod = reference.nwc_poly_mult(a[k], b[k], p)
+        want = [(x + y) % p.q for x, y in zip(want, prod)]
+    assert list(got) == want
+
+    # cached: K-stacked spectra in the four-step layout
+    from jax.sharding import NamedSharding
+
+    specs = [sn.nwc_spectrum(sn.put_natural(fs.encode(x), batched=False),
+                             batched=False) for x in b]
+    spectra = jax.tree.map(lambda *leaves: np.stack(
+        [np.asarray(v) for v in leaves]), *specs)
+    sspec = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(
+            mesh, sn.spec_fourstep(False, stacked=True))), spectra)
+    got_c = fs.decode(sn.nwc_dot_cached(sa, sspec, batched=False))
+    assert list(got_c) == want
+
+
+def test_sharded_kernel_locals_nwc_dot(rng=random.Random(62)):
+    """The fused dot composes with kernel locals (KernelFourStep inside
+    shard_map): vs the native oracle at n = 2^16."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = 786433
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    mesh = make_mesh((8,), ("coeff",))
+    sn = sharded.ShardedNtt(fs, mesh)
+    nrng = np.random.default_rng(62)
+    K = 2
+    a = [[int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+         for _ in range(K)]
+    b = [[int(v) for v in nrng.integers(0, q, size=p.n, dtype=np.uint64)]
+         for _ in range(K)]
+    a[0][:3] = [0, 1, q - 1]
+    stack = lambda polys: jax.tree.map(
+        lambda *leaves: np.stack(leaves), *[fs.encode(x) for x in polys])
+    got = fs.decode(sn.nwc_dot(
+        sn.put_natural(stack(a), batched=False, stacked=True),
+        sn.put_natural(stack(b), batched=False, stacked=True),
+        batched=False))
+    want = [0] * p.n
+    for k in range(K):
+        prod = native.nwc_fast(a[k], b[k], q, p.psi)
+        want = [(x + y) % q for x, y in zip(want, prod)]
+    assert [int(v) for v in got] == want
+
+
 def test_sharded_goldilocks_nwc_vs_golden(rng=random.Random(33)):
     """The width-64 Goldilocks ring composes with the sharded four-step
     path unchanged (its dedicated reduction rides the same (hi, lo)

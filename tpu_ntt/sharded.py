@@ -647,20 +647,24 @@ class ShardedNtt:
             )
 
     # -- specs ---------------------------------------------------------------
-    def _spec(self, batched: bool, shard_from_end: int) -> P:
-        lead = (self.batch_axis,) if batched else ()
+    def _spec(self, batched: bool, shard_from_end: int,
+              stacked: bool = False) -> P:
+        lead = ((None,) if stacked else ())
+        lead += (self.batch_axis,) if batched else ()
         tail = [None, None]
         tail[2 - shard_from_end] = self.coeff_axis
         return P(*lead, *tail)
 
-    def spec_natural(self, batched: bool = True) -> P:
-        return self._spec(batched, 1)
+    def spec_natural(self, batched: bool = True, stacked: bool = False) -> P:
+        return self._spec(batched, 1, stacked)
 
-    def spec_fourstep(self, batched: bool = True) -> P:
-        return self._spec(batched, 2)
+    def spec_fourstep(self, batched: bool = True,
+                      stacked: bool = False) -> P:
+        return self._spec(batched, 2, stacked)
 
-    def put_natural(self, x: Elem, batched: bool = True) -> Elem:
-        s = NamedSharding(self.mesh, self.spec_natural(batched))
+    def put_natural(self, x: Elem, batched: bool = True,
+                    stacked: bool = False) -> Elem:
+        s = NamedSharding(self.mesh, self.spec_natural(batched, stacked))
         return _tmap(lambda a: jax.device_put(a, s), x)
 
     # -- collective layout moves --------------------------------------------
@@ -822,6 +826,33 @@ class ShardedNtt:
                 for t in ((fs.kmid, fs.kmid_inv) if kl
                           else (fs.mid_tw_br, fs.mid_tw_inv_br))
             )
+        elif name in ("dot", "dot_cached"):
+            # fused inner product Σ_k a_k ⊛ b_k: spectrum-domain
+            # accumulate under ONE shard_map, one inverse (and one
+            # inverse-side all-to-all) per output instead of K.  The
+            # cached form consumes per-k nwc_spectrum stacks: K + 1
+            # all-to-alls total.
+            cached = name == "dot_cached"
+            ns = len(spec_tables)
+
+            def body(a, b, *tws):
+                K = jax.tree.leaves(a)[0].shape[0]
+                pick = lambda x, k: _tmap(lambda v: v[k], x)
+                acc = None
+                for k in range(K):
+                    fa = spec_body(pick(a, k), *tws[:ns])
+                    fb = (pick(b, k) if cached
+                          else spec_body(pick(b, k), *tws[:ns]))
+                    c = ring.mul(fa, fb)
+                    acc = c if acc is None else ring.add(acc, c)
+                return inv_nwc_body(acc, *tws[ns:])
+
+            nt = len(spec_tables) + len(inv_nwc_tables)
+            snk = self.spec_natural(batched, stacked=True)
+            sfk = self.spec_fourstep(batched, stacked=True)
+            fn = self._shard_map(
+                body, (snk, sfk if cached else snk, *([ts] * nt)), sn)
+            tables = spec_tables + inv_nwc_tables
         else:  # nwc
 
             def body(a, b, *tws):
@@ -871,6 +902,21 @@ class ShardedNtt:
         """Sharded negacyclic product against a cached ``nwc_spectrum``
         (two all-to-alls instead of four)."""
         return self._jitted("cached", batched)(a, spectrum)
+
+    def nwc_dot(self, a: Elem, b: Elem, batched: bool = True) -> Elem:
+        """Sharded fused inner product INTT(Σ_k NTT(a_k)·NTT(b_k)): a, b
+        are K-stacked natural-layout elements (K, [B,] n1, n2); returns
+        the ([B,] n1, n2) sum of negacyclic products.  One inverse (and
+        one inverse-side all-to-all) per output instead of K — the
+        distributed lattice A@s / key-switching inner product."""
+        return self._jitted("dot", batched)(a, b)
+
+    def nwc_dot_cached(self, a: Elem, spectra: Elem,
+                       batched: bool = True) -> Elem:
+        """Sharded fused dot against K-stacked cached ``nwc_spectrum``
+        outputs (four-step layout): K forwards + one inverse, K + 1
+        all-to-alls total — the fixed-key shape, distributed."""
+        return self._jitted("dot_cached", batched)(a, spectra)
 
     def jit_nwc_poly_mult(self, batched: bool = True):
         """Jitted closure of the sharded product (tables embedded)."""
