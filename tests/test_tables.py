@@ -92,3 +92,27 @@ def test_hex_text_parity_exact(p, fname, inverse):
         shipped = [l.strip() for l in f.read().split() if l.strip()]
     ours = tables.dump_twiddle_hex(p, inverse=inverse).split()
     assert ours == shipped
+
+
+@pytest.mark.parametrize("inverse", [False, True], ids=["fwd", "inv"])
+@pytest.mark.parametrize(
+    "p", [DILITHIUM_256, P24_4096, P60_4096], ids=lambda p: p.name
+)
+def test_device_psi_powers_match_host(p, inverse):
+    """On-device generation (ntt_twiddle_table analog) is bit-exact vs the
+    host big-int tables for every ring family."""
+    from tpu_ntt.modmath import make_ring
+
+    dev = tables.device_psi_powers(p, inverse=inverse)
+    got = make_ring(p).decode(dev)
+    want = tables.psi_inv_powers(p) if inverse else tables.psi_powers(p)
+    assert got == want
+
+
+def test_device_psi_powers_goldilocks():
+    from tpu_ntt.modmath import GOLDILOCKS_Q, make_ring
+    from tpu_ntt.params import make_params
+
+    p = make_params(256, GOLDILOCKS_Q)
+    got = make_ring(p).decode(tables.device_psi_powers(p))
+    assert got == tables.psi_powers(p)

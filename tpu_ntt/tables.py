@@ -65,6 +65,54 @@ def stage_twiddles(n: int, omega: int, q: int) -> np.ndarray:
     return out
 
 
+def device_psi_powers(p: NttParams, inverse: bool = False):
+    """On-device twiddle generation seeded with the single root.
+
+    The TPU analog of the reference's on-the-fly generator
+    ``ntt_twiddle_table`` (rtl/ntt_twiddle_table.v:3-80): at reset that
+    module fills an n-entry register table by n SERIAL ``mod_mult``
+    launches (state machine at rtl/ntt_twiddle_table.v:60-76), trading
+    ROM images for generation latency.  Here the table materializes on
+    device in log2(n) DOUBLING steps — ``arr <- concat(arr, arr * s)``
+    with the stride scalar squared each step (``s: psi^1, psi^2, psi^4,
+    ...``) — so only the scalar seed crosses the host boundary: no O(n)
+    host big-int loop and no n-entry constant baked into the jit
+    program.  Useful when tables must be (re)built at runtime from
+    ``(psi, q)`` or at config-5 sizes (n = 2^20) where the host loop is
+    seconds and the device scan is log-depth.
+
+    Returns the same table as :func:`psi_powers` (:func:`psi_inv_powers`
+    when ``inverse``) as device array(s): uint32 for width <= 30, a
+    (hi, lo) uint32 pair otherwise.  Bit-exact vs the host tables
+    (tests/test_tables.py::test_device_psi_powers_*).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .modmath import make_ring
+
+    ring = make_ring(p)
+    seed = ring.encode([p.psi_inv if inverse else p.psi])
+    one = ring.encode([1])
+    log_n = p.n.bit_length() - 1
+
+    def _limbs(e):
+        return e if isinstance(e, tuple) else (e,)
+
+    @jax.jit
+    def gen(seed, one):
+        arr, stride = one, seed
+        for _ in range(log_n):
+            nxt = ring.mul(arr, stride)  # stride (1,) broadcasts over arr
+            cat = tuple(jnp.concatenate([x, y])
+                        for x, y in zip(_limbs(arr), _limbs(nxt)))
+            arr = cat if isinstance(arr, tuple) else cat[0]
+            stride = ring.mul(stride, stride)
+        return arr
+
+    return gen(seed, one)
+
+
 def hex_digits(width: int) -> int:
     return (width + 3) // 4
 
