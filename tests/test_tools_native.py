@@ -39,6 +39,13 @@ def test_cli_twiddles_inverse_custom_params():
     assert tables.load_hex(out) == tables.psi_inv_powers(DILITHIUM_256)
 
 
+def test_cli_twiddles_device_generation():
+    """--device emits the same hex bytes via the on-device generator."""
+    rc, out = run_cli(["twiddles", "--preset", "dilithium_256", "--device"])
+    assert rc == 0
+    assert out == tables.dump_twiddle_hex(DILITHIUM_256)
+
+
 def test_cli_find_psi():
     rc, out = run_cli(["find-psi", "--n", "256", "--q", "8380417"])
     assert rc == 0

@@ -43,7 +43,16 @@ def _add_param_flags(sp) -> None:
 
 def cmd_twiddles(args) -> int:
     p = _params_from_args(args)
-    text = tables.dump_twiddle_hex(p, inverse=args.inverse)
+    if args.device:
+        # On-the-fly generation on the accelerator (ntt_twiddle_table
+        # analog; see tables.device_psi_powers) — same hex bytes out.
+        from .modmath import make_ring
+
+        vals = make_ring(p).decode(
+            tables.device_psi_powers(p, inverse=args.inverse))
+        text = tables.dump_hex(vals, p.width)
+    else:
+        text = tables.dump_twiddle_hex(p, inverse=args.inverse)
     if args.output:
         with open(args.output, "w") as f:
             f.write(text)
@@ -154,6 +163,9 @@ def main(argv=None) -> int:
     sp = sub.add_parser("twiddles", help="emit a twiddle hex table")
     _add_param_flags(sp)
     sp.add_argument("--inverse", action="store_true")
+    sp.add_argument("--device", action="store_true",
+                    help="generate on the accelerator from the scalar seed "
+                         "(tables.device_psi_powers)")
     sp.add_argument("-o", "--output")
     sp.set_defaults(fn=cmd_twiddles)
 
