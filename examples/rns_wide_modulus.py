@@ -1,0 +1,92 @@
+"""Example: negacyclic products modulo a 128-bit (or any-width) modulus.
+
+The reference accelerator is parameterized up to WIDTH=60
+(rtl/ntt_poly_mult.sv:15-28); FHE coefficient moduli are far wider and —
+per the standard practice its report defers to — are handled by residue
+number system (RNS) decomposition.  `tpu_ntt.rns` is that extension,
+TPU-style: the wide product is assembled from products modulo several
+24-bit NTT-friendly primes, EACH of which runs batched on the fused
+int8-MXU Pallas kernel via the normal dispatch policy, then recombined
+exactly by the CRT.  The wide modulus itself needs no NTT-friendly
+structure at all (the CRT determines the integer result, hence the
+result mod ANY q).
+
+Here: a CKKS/BGV-flavored 128-bit prime modulus at n = 4096, checked
+against a plain big-int schoolbook oracle.
+
+Run:  python examples/rns_wide_modulus.py [--n 4096] [--batch 4] [--cpu]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def schoolbook_nwc(a, b, q, n):
+    out = [0] * n
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + ai * bj) % q
+            else:
+                out[k - n] = (out[k - n] - ai * bj) % q
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--check", type=int, default=1,
+                    help="how many batch rows to oracle-check (O(n^2) each)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu_ntt import rns
+
+    # a 128-bit prime (2^128 - 159, the largest below 2^128); ANY odd
+    # modulus — prime or not, NTT-friendly or not — works the same way.
+    q = (1 << 128) - 159
+    n = args.n
+
+    plan = rns.RnsPlan(n, q)
+    widths = [p.q.bit_length() for p in plan.params]
+    print(f"q = 2^128 - 159, n = {n}: {len(plan.params)} residue channels "
+          f"({min(widths)}-{max(widths)} bit primes, each on the fused "
+          f"MXU kernel)")
+
+    rng = np.random.default_rng(0)
+
+    def wide(batch, seed):
+        r = np.random.default_rng(seed)
+        lo = r.integers(0, 1 << 62, size=(batch, n), dtype=np.uint64)
+        hi = r.integers(0, 1 << 62, size=(batch, n), dtype=np.uint64)
+        return np.frompyfunc(
+            lambda h, l: (int(h) << 62 | int(l)) % q, 2, 1)(hi, lo)
+
+    a, b = wide(args.batch, 1), wide(args.batch, 2)
+    t0 = time.time()
+    c = plan.nwc_poly_mult(a, b)
+    print(f"product of {args.batch} pairs: {time.time() - t0:.2f}s "
+          f"(includes per-channel compile on first call)")
+
+    for row in range(min(args.check, args.batch)):
+        want = schoolbook_nwc(
+            [int(v) for v in a[row]], [int(v) for v in b[row]], q, n)
+        assert [int(v) for v in c[row]] == want, f"row {row} mismatch"
+    print(f"OK: {min(args.check, args.batch)} row(s) bit-exact vs the "
+          f"big-int schoolbook oracle")
+
+
+if __name__ == "__main__":
+    main()
