@@ -18,12 +18,13 @@ Run:  python examples/rns_wide_modulus.py [--n 4096] [--batch 4] [--cpu]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def schoolbook_nwc(a, b, q, n):
@@ -68,11 +69,14 @@ def main():
     rng = np.random.default_rng(0)
 
     def wide(batch, seed):
+        # three 48-bit draws span 144 bits; reducing mod q covers the FULL
+        # residue range [0, q), including the top bits of the 128-bit word
         r = np.random.default_rng(seed)
-        lo = r.integers(0, 1 << 62, size=(batch, n), dtype=np.uint64)
-        hi = r.integers(0, 1 << 62, size=(batch, n), dtype=np.uint64)
+        d = [r.integers(0, 1 << 48, size=(batch, n), dtype=np.uint64)
+             for _ in range(3)]
         return np.frompyfunc(
-            lambda h, l: (int(h) << 62 | int(l)) % q, 2, 1)(hi, lo)
+            lambda x, y, z: ((int(x) << 96) | (int(y) << 48) | int(z)) % q,
+            3, 1)(*d)
 
     a, b = wide(args.batch, 1), wide(args.batch, 2)
     t0 = time.time()

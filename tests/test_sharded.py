@@ -300,6 +300,9 @@ def test_fused_exchange_matches_xla_a2a(p, n1, rng=random.Random(30)):
 
 
 def test_fused_exchange_nwc_product_vs_golden(rng=random.Random(31)):
+    """Full NWC product through the RDMA exchange — interpret-mode only
+    (simulated remote DMAs on the CPU mesh; no multi-chip hardware here),
+    so this validates correctness, never performance."""
     p = DILITHIUM_256
     fs = sharded.FourStepPlan(p, 16, 16)
     mesh = make_mesh((8,), ("coeff",))
@@ -317,7 +320,8 @@ def test_fused_exchange_nwc_product_vs_golden(rng=random.Random(31)):
 
 def test_fused_exchange_2d_mesh_batched(rng=random.Random(32)):
     """RDMA exchange with a 2-axis mesh: peer coordinates vary only on the
-    coeff axis while the batch axis coordinate rides along."""
+    coeff axis while the batch axis coordinate rides along.  Interpret-mode
+    only (simulated remote DMAs; correctness, not performance)."""
     p = DILITHIUM_256
     fs = sharded.FourStepPlan(p, 16, 16)
     mesh = make_mesh((2, 4), ("batch", "coeff"))

@@ -69,10 +69,11 @@ def device_psi_powers(p: NttParams, inverse: bool = False):
     """On-device twiddle generation seeded with the single root.
 
     The TPU analog of the reference's on-the-fly generator
-    ``ntt_twiddle_table`` (rtl/ntt_twiddle_table.v:3-80): at reset that
+    ``ntt_twiddle_table`` (rtl/ntt_twiddle_table.v:3-120): at reset that
     module fills an n-entry register table by n SERIAL ``mod_mult``
-    launches (state machine at rtl/ntt_twiddle_table.v:60-76), trading
-    ROM images for generation latency.  Here the table materializes on
+    launches (serial-mult state machine at rtl/ntt_twiddle_table.v:81-118,
+    per-entry generate write block at :58-79), trading ROM images for
+    generation latency.  Here the table materializes on
     device in log2(n) DOUBLING steps — ``arr <- concat(arr, arr * s)``
     with the stride scalar squared each step (``s: psi^1, psi^2, psi^4,
     ...``) — so only the scalar seed crosses the host boundary: no O(n)
@@ -102,12 +103,13 @@ def device_psi_powers(p: NttParams, inverse: bool = False):
     @jax.jit
     def gen(seed, one):
         arr, stride = one, seed
-        for _ in range(log_n):
+        for i in range(log_n):
             nxt = ring.mul(arr, stride)  # stride (1,) broadcasts over arr
             cat = tuple(jnp.concatenate([x, y])
                         for x, y in zip(_limbs(arr), _limbs(nxt)))
             arr = cat if isinstance(arr, tuple) else cat[0]
-            stride = ring.mul(stride, stride)
+            if i < log_n - 1:  # the final stride is never consumed
+                stride = ring.mul(stride, stride)
         return arr
 
     return gen(seed, one)
