@@ -140,6 +140,27 @@ def main():
         # the fused A @ s workload (Dilithium ML-DSA-44 shape + 60-bit)
         bench_matvec("dilithium_256", 4, 4, batch * 4, iters)
         bench_matvec("p60_4096", 4, 4, max(batch // 8, 32), iters)
+        bench_kyber(batch * 8, iters)
+
+
+def bench_kyber(batch, iters):
+    """ML-KEM (FIPS-203) incomplete-NTT products — the workload the
+    reference explored and abandoned (test/archive/ntt_inverse_kyber.py);
+    here a fused surface (tpu_ntt.kyber)."""
+    from tpu_ntt.kernels.kyber import KyberPlan
+    from tpu_ntt.reference import KYBER_N, KYBER_Q
+
+    kp = KyberPlan()
+    rng = np.random.default_rng(9)
+    a = jax.device_put(rng.integers(0, KYBER_Q, size=(batch, KYBER_N),
+                                    dtype=np.uint32))
+    b = jax.device_put(rng.integers(0, KYBER_Q, size=(batch, KYBER_N),
+                                    dtype=np.uint32))
+    fn = jax.jit(lambda x, y: kp.poly_mult(x, y))
+    dt = device_seconds_per_iter(fn, a, b, iters=iters)
+    log(f"  mlkem_3329 poly_mult [pallas-kyber]: batch={batch} "
+        f"{dt * 1e3:.3f} ms/iter -> {batch / dt:,.0f} op/s")
+    return batch / dt
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)

@@ -104,6 +104,93 @@ def schoolbook_negacyclic(a: Sequence[int], b: Sequence[int], q: int) -> List[in
     return out
 
 
+# ---------------------------------------------------------------------------
+# ML-KEM (Kyber) incomplete NTT — FIPS-203 §4.3 golden model
+# ---------------------------------------------------------------------------
+#
+# q = 3329 has 2-adicity 8 (q - 1 = 2^8 * 13), so no 512th root of unity
+# exists and the full-size psi-twist machinery above cannot apply: the
+# deployed standard instead uses the INCOMPLETE transform, mapping
+# Z_q[x]/(x^256 + 1) onto 128 quadratic extensions Z_q[x]/(x^2 - gamma_i)
+# with gamma_i = zeta^(2*br7(i)+1), zeta = 17 a primitive 256th root.
+# Products finish with a 2x2 "base case" multiplication per pair.
+#
+# The reference repo explored exactly this workload and abandoned it
+# (test/archive/ntt_inverse_kyber.py:1-3, built from the pq-crystals
+# reference); these are fresh implementations of FIPS-203 Algorithms 9-12,
+# used as the bit-exactness oracle for the TPU paths in kyber.py /
+# kernels/kyber.py.  All values are plain residues in [0, q) (the FIPS
+# definition; no Montgomery factors anywhere in the golden).
+
+KYBER_Q = 3329
+KYBER_N = 256
+KYBER_ZETA = 17  # primitive 256th root of unity mod 3329
+
+
+def _br7(i: int) -> int:
+    return bit_reverse(i, 7)
+
+
+def kyber_ntt(f: Sequence[int]) -> List[int]:
+    """FIPS-203 Algorithm 9: 7-layer CT network, natural coefficients in,
+    the standard NTT representation out (the order ML-KEM serializes)."""
+    q = KYBER_Q
+    a = [v % q for v in f]
+    assert len(a) == KYBER_N
+    k = 1
+    length = 128
+    while length >= 2:
+        for start in range(0, KYBER_N, 2 * length):
+            zeta = pow(KYBER_ZETA, _br7(k), q)
+            k += 1
+            for j in range(start, start + length):
+                t = zeta * a[j + length] % q
+                a[j + length] = (a[j] - t) % q
+                a[j] = (a[j] + t) % q
+        length //= 2
+    return a
+
+
+def kyber_intt(fh: Sequence[int]) -> List[int]:
+    """FIPS-203 Algorithm 10: GS network + final 128^-1 scale."""
+    q = KYBER_Q
+    a = [v % q for v in fh]
+    assert len(a) == KYBER_N
+    k = 127
+    length = 2
+    while length <= 128:
+        for start in range(0, KYBER_N, 2 * length):
+            zeta = pow(KYBER_ZETA, _br7(k), q)
+            k -= 1
+            for j in range(start, start + length):
+                t = a[j]
+                a[j] = (t + a[j + length]) % q
+                a[j + length] = zeta * (a[j + length] - t) % q
+        length *= 2
+    n_half_inv = pow(128, q - 2, q)  # 3303
+    return [v * n_half_inv % q for v in a]
+
+
+def kyber_basemul(ah: Sequence[int], bh: Sequence[int]) -> List[int]:
+    """FIPS-203 Algorithms 11-12: pairwise product in the NTT domain —
+    128 independent multiplications in Z_q[x]/(x^2 - gamma_i)."""
+    q = KYBER_Q
+    out = [0] * KYBER_N
+    for i in range(128):
+        gamma = pow(KYBER_ZETA, 2 * _br7(i) + 1, q)
+        a0, a1 = ah[2 * i], ah[2 * i + 1]
+        b0, b1 = bh[2 * i], bh[2 * i + 1]
+        out[2 * i] = (a0 * b0 + a1 * b1 % q * gamma) % q
+        out[2 * i + 1] = (a0 * b1 + a1 * b0) % q
+    return out
+
+
+def kyber_poly_mult(a: Sequence[int], b: Sequence[int]) -> List[int]:
+    """Negacyclic product in R_q = Z_q[x]/(x^256 + 1) via the incomplete
+    NTT — must equal schoolbook_negacyclic(a, b, KYBER_Q)."""
+    return kyber_intt(kyber_basemul(kyber_ntt(a), kyber_ntt(b)))
+
+
 def schoolbook_cyclic(a: Sequence[int], b: Sequence[int], q: int) -> List[int]:
     """O(n^2) cyclic convolution: x^n = 1."""
     n = len(a)
