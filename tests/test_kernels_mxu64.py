@@ -226,3 +226,52 @@ def test_non_lazy_window_61bit(rng):
     got = dec(*mp.nwc_poly_mult(enc(a), enc(b), interpret=True))
     want = reference.nwc_poly_mult(a[0], b[0], p)
     assert [int(v) for v in got[0]] == want
+
+
+def test_split_left_bit_identical_n32768(rng):
+    """Split-radix left transform (``split_left``, DESIGN.md §2.5c): the
+    DIF-factored forward + mirrored inverse with pi-permuted mid tables
+    must be bit-identical to the dense (256, 256) left matmul at
+    n = 32768, for both the generic and the Solinas-trinomial plans
+    (random + boundary operands)."""
+    from tpu_ntt.kernels.sol64 import SolinasPlan64
+    from tpu_ntt.params import make_params
+
+    q = (1 << 60) - (1 << 18) + 1  # trinomial with 2-adicity 18
+    p = make_params(32768, q)
+
+    def enc(rows):
+        return (
+            np.array([[x >> 32 for x in v] for v in rows], dtype=np.uint32),
+            np.array([[x & 0xFFFFFFFF for x in v] for v in rows],
+                     dtype=np.uint32),
+        )
+
+    a = enc([[rng.randrange(q) for _ in range(p.n)]])
+    b = enc([[q - 1] * p.n])  # boundary operand
+    for cls in (MxuPlan64, SolinasPlan64):
+        dense = cls(p)
+        dense.split_left = False
+        split = cls(p)
+        assert split.split_left  # measured default at this size
+        d = dense.nwc_poly_mult(a, b, interpret=True)
+        s = split.nwc_poly_mult(a, b, interpret=True)
+        for x, y in zip(d, s):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), cls.__name__
+
+
+def test_split_left_silently_dense_when_unavailable(rng):
+    """At n1 != 256 no split tables exist: the default split_left=True
+    must fall back to the dense left matmul, with correct results."""
+    mp = MxuPlan64(P60_SMALL)
+    assert mp.split_left and not hasattr(mp, "w1s_e_nwc")
+    a = [rng.randrange(P60_SMALL.q) for _ in range(P60_SMALL.n)]
+    b = [rng.randrange(P60_SMALL.q) for _ in range(P60_SMALL.n)]
+    enc = lambda v: (
+        np.array([[x >> 32 for x in v]], dtype=np.uint32),
+        np.array([[x & 0xFFFFFFFF for x in v]], dtype=np.uint32),
+    )
+    hi, lo = mp.nwc_poly_mult(enc(a), enc(b), interpret=True)
+    got = [(int(h) << 32) | int(l)
+           for h, l in zip(np.asarray(hi)[0], np.asarray(lo)[0])]
+    assert got == reference.nwc_poly_mult(a, b, P60_SMALL)

@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..modmath import add64, mont_mul64, mul32, shoup_mul64, shoup_mul64_lazy
+from ..modmath import (add64, add_mod64, mont_mul64, mul32, shoup_mul64,
+                       shoup_mul64_lazy, sub_mod64)
 from ..params import NttParams
 
 U32 = jnp.uint32
@@ -307,6 +308,59 @@ class MxuPlan64:
         # domain exit rides the matmul for free.
         self.w1i_exit = make_w(block_diag(dft_matrix(n1, w1i, r32)),
                                left=True)
+
+        # --- Split-radix left transform (n1 = 256 only; DESIGN.md §2.5c) -
+        # At n = 32768 the dense (256, 256) left DFT is 2/3 of the fused
+        # product's MXU work (bench/roofline.py).  DFT_256 factorizes as
+        # DIF: X1[2m]   = DFT_128[w1^2]( x_top + P·x_bot )[m]
+        #      X1[2m+1] = DFT_128[w1^2]( w1^j2 ∘ (x_top - P·x_bot) )[m]
+        # with P = psi128^128 riding the psi fold, the per-row w1^j2 (and
+        # the psi column scales) folded into the two 128-DFT matrices'
+        # columns, so the split costs ONE constant Shoup pass + one mod
+        # add/sub per transform and HALVES the left matmul's MACs (two
+        # 128-contraction tiles instead of one 256-contraction).  The
+        # inverse mirrors it (matrices row-scaled, butterfly after).  The
+        # interleaved output row order pi(r) = 2r / 2(r-128)+1 is absorbed
+        # by permuting the host-built mid tables and feeding the
+        # equally-split inverse — no data movement anywhere.  Toggle:
+        # ``split_left`` (measured A/B; requires q < 2^62 for the
+        # constant Shoup multiply, so the Goldilocks subclass is out).
+        if n1 == 2 * LANES and q < (1 << 62):
+            w1sq = pow(w1, 2, q)    # primitive 128th root
+            w1isq = pow(w1i, 2, q)
+
+            def scaled_dft128(root, colbase, rowbase, scale):
+                pows = _pow_table(root, q, LANES)
+                m = np.empty((LANES, LANES), dtype=object)
+                for i in range(LANES):
+                    rs = pow(rowbase, i, q)
+                    for j in range(LANES):
+                        m[i, j] = (pows[(i * j) % LANES] * pow(colbase, j, q)
+                                   % q * rs % q * scale % q)
+                return m
+
+            self.w1s_e_nwc = make_w(
+                scaled_dft128(w1sq, psi128, 1, r96), left=True)
+            self.w1s_o_nwc = make_w(
+                scaled_dft128(w1sq, w1 * psi128 % q, 1, r96), left=True)
+            self.w1is_a_nwc = make_w(
+                scaled_dft128(w1isq, 1, psi128_inv, r32), left=True)
+            self.w1is_b_nwc = make_w(
+                scaled_dft128(w1isq, 1, psi128_inv * w1i % q, r32),
+                left=True)
+            P = pow(psi128, LANES, q)
+            Pi = pow(psi128_inv, LANES, q)
+            self._split_P = (P, (P << 64) // q)
+            self._split_Pi = (Pi, (Pi << 64) // q)
+            pi_perm = lambda r: 2 * r if r < LANES else 2 * (r - LANES) + 1
+            self.mid_nwc_split = shoup_pair(
+                lambda k1, m2: pow(omega, pi_perm(k1) * m2, q)
+                * pow(psi, m2, q) % q
+            )
+            self.mid_inv_nwc_split = shoup_pair(
+                lambda k1, m2: pow(omega_inv, pi_perm(k1) * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
 
     # ------------------------------------------------------------------
     # In-kernel primitives ((hi, lo) pairs of (128, 128) uint32)
@@ -577,6 +631,94 @@ class MxuPlan64:
 
     def _emul(self, x, table):
         return mont_mul64(x, table, self.q, self.q_prime64)
+
+    # ------------------------------------------------------------------
+    # Split-radix left transform (n1 = 256; see __init__ derivation)
+    # ------------------------------------------------------------------
+
+    #: replace the dense (256, 256) left DFT with a DIF split — two
+    #: 128-contraction matmuls + a constant Shoup + one mod add/sub pair
+    #: per transform (halves the left matmul's MXU work, which is 2/3 of
+    #: the n = 32768 product's total MXU ops — bench/roofline.py).
+    #: Hardware A/B at n = 32768 B=256 (DESIGN.md §2.5c): sol64 44.9k ->
+    #: 49.8k op/s (+11%), mxu64 34.6k -> 46.8k (+35%), bit-identical.
+    #: Default ON; silently inapplicable (dense path) when the split
+    #: tables don't exist (n1 != 256, or q >= 2^62 where the constant
+    #: Shoup multiply is invalid — the Goldilocks subclass).  Currently
+    #: wired into nwc_poly_mult (the ledger workload); the other entry
+    #: points keep the dense left transform.
+    split_left = True
+
+    def _shoup_const(self, x, c_pair):
+        """Strict Shoup multiply by a COMPILE-TIME scalar (w, w') pair."""
+        w_v, ws_v = c_pair
+        hi, lo = x
+        w = (jnp.full_like(hi, np.uint32(w_v >> 32)),
+             jnp.full_like(lo, np.uint32(w_v & 0xFFFFFFFF)))
+        ws = (jnp.full_like(hi, np.uint32(ws_v >> 32)),
+              jnp.full_like(lo, np.uint32(ws_v & 0xFFFFFFFF)))
+        return shoup_mul64(x, w, ws, self.q)
+
+    def _left_fwd_split(self, x, we, wo):
+        """[E; O] = split-radix forward left transform of a (256, 128)
+        pair block: row r holds X1[pi(r)] (pi = 2r / 2(r-128)+1); the
+        psi-twist column folds and the 2^96 domain scale ride the two
+        128-DFT matrices exactly as they rode the dense one."""
+        hi, lo = x
+        h = LANES
+        xt = (hi[:h], lo[:h])
+        t = self._shoup_const((hi[h:], lo[h:]), self._split_P)
+        u = add_mod64(xt, t, self.q)
+        v = sub_mod64(xt, t, self.q)
+        e = self._matmul_mont(u, we, left=True, final=False)
+        o = self._matmul_mont(v, wo, left=True, final=False)
+        return (jnp.concatenate([e[0], o[0]], axis=0),
+                jnp.concatenate([e[1], o[1]], axis=0))
+
+    def _left_inv_split(self, c, wa, wb):
+        """Mirror split for the inverse left transform: consumes the
+        pi-ordered spectrum rows ([E; O] halves are contiguous slices),
+        butterflies AFTER the two 128-DFTs; the psi^-1 row folds and the
+        2^32 exit scale ride the matrices, the constant psi128^-128
+        rides one Shoup pass on the bottom half.  Output rows are natural
+        coefficient order, [0, q)."""
+        hi, lo = c
+        h = LANES
+        A = self._matmul_mont((hi[:h], lo[:h]), wa, left=True)
+        B = self._matmul_mont((hi[h:], lo[h:]), wb, left=True)
+        top = add_mod64(A, B, self.q)
+        bot = self._shoup_const(sub_mod64(A, B, self.q), self._split_Pi)
+        return (jnp.concatenate([top[0], bot[0]], axis=0),
+                jnp.concatenate([top[1], bot[1]], axis=0))
+
+    def _nwc_kernel_split(
+        self, a_hi, a_lo, b_hi, b_lo,
+        w1e, w1o, w2, w1ia, w1ib, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
+    ):
+        """The fused NWC pipeline with split-radix left transforms (the
+        mids are the pi-permuted tables, so the pipeline is internally
+        consistent and the output identical to _nwc_kernel)."""
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+
+        def fwd(x):
+            x = self._left_fwd_split(x, w1e, w1o)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._left_inv_split(c, w1ia, w1ib)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
 
     # ------------------------------------------------------------------
     # Kernel body & wrapper
@@ -905,6 +1047,18 @@ class MxuPlan64:
         (B, n), natural order, coefficients in [0, q)."""
         ga_hi, ga_lo, bsz = self._group_batch(*a)
         gb_hi, gb_lo, _ = self._group_batch(*b)
+        if self.split_left and hasattr(self, "w1s_e_nwc"):
+            out = self._call(
+                self._nwc_kernel_split,
+                (ga_hi, ga_lo, gb_hi, gb_lo),
+                (
+                    self.w1s_e_nwc, self.w1s_o_nwc, self.w2,
+                    self.w1is_a_nwc, self.w1is_b_nwc, self.w2i,
+                    *self.mid_nwc_split, *self.mid_inv_nwc_split,
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         out = self._call(
             self._nwc_kernel,
             (ga_hi, ga_lo, gb_hi, gb_lo),
