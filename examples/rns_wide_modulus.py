@@ -91,6 +91,57 @@ def main():
     print(f"OK: {min(args.check, args.batch)} row(s) bit-exact vs the "
           f"big-int schoolbook oracle")
 
+    # ---- Part 2: the PRODUCTION form — RNS-resident ring, device CRT ----
+    # Arbitrary-q RnsPlan above recombines on the host per call (fine for
+    # IO, host-bound at rate).  FHE practice instead makes the modulus a
+    # PRODUCT of word-sized NTT primes (SEAL/OpenFHE moduli are built this
+    # way), so every ring op is exact per-channel device arithmetic and
+    # values never leave RNS between ops; the CRT exit itself runs ON
+    # DEVICE (rns.RnsRing.reconstruct_words — exact uint32 multiword).
+    from tpu_ntt.rns import RnsRing
+
+    ring = RnsRing(n, channels=6)
+    print(f"\nRnsRing: q = prod of 6 NTT primes ({ring.q.bit_length()} bits)"
+          f", residues device-resident")
+    rng2 = np.random.default_rng(7)
+
+    def full_range_row():  # four 48-bit draws cover [0, q) for q < 2^192
+        ds = rng2.integers(0, 1 << 48, size=(4, n), dtype=np.uint64)
+        return [
+            ((int(ds[0, i]) << 144) | (int(ds[1, i]) << 96)
+             | (int(ds[2, i]) << 48) | int(ds[3, i])) % ring.q
+            for i in range(n)
+        ]
+
+    rows = [full_range_row() for _ in range(args.batch)]
+    ra = ring.encode(rows)
+    # chain 3 products + 1 add entirely in RNS: d = ((a*a + a) * a) * a
+    t0 = time.time()
+    rc = ring.add(ring.nwc_mult(ra, ra), ra)
+    rc = ring.nwc_mult(rc, ra)
+    rc = ring.nwc_mult(rc, ra)
+    words = ring.reconstruct_words(rc)
+    import jax
+
+    jax.block_until_ready(words)
+    t_all = time.time() - t0
+    t0 = time.time()
+    got = ring.decode_words(np.asarray(words))
+    t_host = time.time() - t0
+    print(f"3 chained products + add + ON-DEVICE CRT exit: {t_all:.2f}s "
+          f"(includes compile); host share = words->ints view only "
+          f"({t_host:.2f}s)")
+
+    qr = ring.q
+    a0 = rows[0]
+    want = schoolbook_nwc(a0, a0, qr, n)
+    want = [(x + y) % qr for x, y in zip(want, a0)]
+    want = schoolbook_nwc(want, a0, qr, n)
+    want = schoolbook_nwc(want, a0, qr, n)
+    assert [int(v) for v in got[0]] == want, "RnsRing chain mismatch"
+    print("OK: chained RNS-resident products + device reconstruction "
+          "bit-exact vs the big-int schoolbook oracle")
+
 
 if __name__ == "__main__":
     main()

@@ -123,3 +123,74 @@ def test_wide_modulus_rejected_by_direct_ring():
     q80 = rns.ntt_friendly_primes(64, 80, 1)[0]
     with pytest.raises(ValueError, match="rns"):
         make_ring(make_params(64, q80))
+
+
+# ---------------------------------------------------------------------------
+# RnsRing: RNS-resident ring (q = prod p_j) + exact device reconstruction
+# ---------------------------------------------------------------------------
+
+
+def test_rns_ring_roundtrip_and_product(rng=random.Random(40)):
+    n = 256
+    ring = rns.RnsRing(n, channels=6)
+    q = ring.q
+    assert q.bit_length() >= 128  # a CKKS-scale ciphertext modulus
+    a = [rng.randrange(q) for _ in range(n)]
+    b = [rng.randrange(q) for _ in range(n)]
+    ra, rb = ring.encode([a]), ring.encode([b])
+    # roundtrip
+    assert [int(v) for v in ring.decode(ra)[0]] == a
+    # single product vs big-int oracle
+    rc = ring.nwc_mult(ra, rb)
+    assert [int(v) for v in ring.decode(rc)[0]] == schoolbook_nwc(a, b, q)
+
+
+def test_rns_ring_chained_ops_stay_exact(rng=random.Random(41)):
+    """The FHE-practice property: products/adds chain indefinitely in RNS
+    (q = prod p_j makes per-channel reduction reduction mod q) with no
+    recombination between operations."""
+    n = 256
+    ring = rns.RnsRing(n, channels=4)
+    q = ring.q
+    a = [rng.randrange(q) for _ in range(n)]
+    b = [rng.randrange(q) for _ in range(n)]
+    ra, rb = ring.encode([a]), ring.encode([b])
+    # d = (a*b + a) * b - b
+    rc = ring.add(ring.nwc_mult(ra, rb), ra)
+    rd = ring.sub(ring.nwc_mult(rc, rb), rb)
+    t = schoolbook_nwc(a, b, q)
+    t = [(x + y) % q for x, y in zip(t, a)]
+    want = schoolbook_nwc(t, b, q)
+    want = [(x - y) % q for x, y in zip(want, b)]
+    assert [int(v) for v in ring.decode(rd)[0]] == want
+
+
+def test_rns_ring_device_reconstruction(rng=random.Random(42)):
+    """reconstruct_words (exact on-device CRT, float32 k-estimate + exact
+    fixups) must match the host big-int decode bit-for-bit — including the
+    k-estimate edge cases (c = 0, c = q-1, single tiny coefficient)."""
+    n = 256
+    ring = rns.RnsRing(n, channels=6)
+    q = ring.q
+    rows = [
+        [rng.randrange(q) for _ in range(n)],
+        [0] * n,
+        [q - 1] * n,
+        [1] + [0] * (n - 1),
+        [q - 1] + [0] * (n - 1),
+    ]
+    res = ring.encode(rows)
+    want = ring.decode(res)
+    got = ring.decode_words(np.asarray(ring.reconstruct_words(res)))
+    assert (want == got).all()
+    # and through a product (the real exit path)
+    ra = ring.encode([rows[0]])
+    rc = ring.nwc_mult(ra, ra)
+    want_c = ring.decode(rc)
+    got_c = ring.decode_words(np.asarray(ring.reconstruct_words(rc)))
+    assert (want_c == got_c).all()
+
+
+def test_rns_ring_rejects_duplicate_moduli():
+    with pytest.raises(ValueError, match="distinct"):
+        rns.RnsRing(256, moduli=[16770049, 16770049])
