@@ -9,10 +9,12 @@ self-contained either way.
 
 import os
 
+import numpy as np
 import pytest
 
 from tpu_ntt import tables
-from tpu_ntt.params import DILITHIUM_256, P24_1024, P24_4096, P60_4096
+from tpu_ntt.params import (DILITHIUM_256, P24_1024, P24_4096, P60_4096,
+                            Reduction)
 
 from conftest import reference_hex_path
 
@@ -116,3 +118,85 @@ def test_device_psi_powers_goldilocks():
     p = make_params(256, GOLDILOCKS_Q)
     got = make_ring(p).decode(tables.device_psi_powers(p))
     assert got == tables.psi_powers(p)
+
+
+# ---------------------------------------------------------------------------
+# device_stage_tables: full runtime-(n, q) plan tables built on device
+# ---------------------------------------------------------------------------
+
+
+def _flat(v):
+    import jax
+
+    return [np.asarray(x) for x in jax.tree.leaves(v)]
+
+
+def _tables_equal(a, b):
+    fa, fb = _flat(a), _flat(b)
+    assert len(fa) == len(fb)
+    return all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(fa, fb))
+
+
+@pytest.mark.parametrize("reduction", list(Reduction))
+def test_device_stage_tables_match_host_plan(reduction):
+    """Every table NttPlan(device_tables=True) carries is bit-exact vs the
+    host big-int build, for each reduction backend's twiddle encoding."""
+    from tpu_ntt.ntt import NttPlan
+    from tpu_ntt.params import make_params
+
+    p = make_params(512, DILITHIUM_256.q)
+    host = NttPlan(p, reduction)
+    dev = NttPlan(p, reduction, device_tables=True)
+    for name in ("psi_pows", "psi_inv_pows", "n_inv_tw", "psi_inv_n_inv"):
+        assert _tables_equal(getattr(host, name), getattr(dev, name)), name
+    for name in ("stage_tw", "stage_tw_inv", "merged_tw", "merged_tw_inv",
+                 "dif_tw", "dit_tw_inv"):
+        hs, ds = getattr(host, name), getattr(dev, name)
+        assert len(hs) == len(ds) == p.log_n
+        for s in range(p.log_n):
+            assert _tables_equal(hs[s], ds[s]), f"{name}[{s}]"
+
+
+def test_device_shoup32_exact_incl_edges():
+    """floor(w * 2^32 / q) on device == host big-int division, including
+    w = 0, 1, q-1 and a q close to the 2^30 width cap."""
+    import jax.numpy as jnp
+
+    for q in (DILITHIUM_256.q, 786433, (1 << 30) - 35):  # last: 30-bit prime
+        ws = [0, 1, 2, q // 3, q // 2, q - 2, q - 1]
+        got = tables.device_shoup32(jnp.asarray(ws, dtype=jnp.uint32), q)
+        want = [(w << 32) // q for w in ws]
+        assert [int(v) for v in np.asarray(got)] == want, q
+
+
+def test_device_tables_plan_transforms_bit_exact():
+    """A device-tables plan produces bit-identical transforms/products to
+    the host-tables plan (merged, CG, and no-gather paths)."""
+    import random
+
+    from tpu_ntt import ntt
+    from tpu_ntt.params import make_params
+
+    rng = random.Random(50)
+    p = make_params(256, 786433)  # a NON-preset (n, q): the runtime case
+    host = ntt.NttPlan(p)
+    dev = ntt.NttPlan(p, device_tables=True)
+    a = [rng.randrange(p.q) for _ in range(p.n)]
+    b = [rng.randrange(p.q) for _ in range(p.n)]
+    a[:3] = [0, 1, p.q - 1]
+    ea, eb = host.encode(a), host.encode(b)
+    for fn in (ntt.nwc_poly_mult_merged, ntt.nwc_poly_mult,
+               ntt.cyclic_poly_mult):
+        want = host.decode(fn(host, ea, eb))
+        got = dev.decode(fn(dev, ea, eb))
+        assert (want == got).all(), fn.__name__
+    want = host.decode(ntt.ntt_inv_nogather(host, ntt.ntt_fwd_nogather(host, ea)))
+    got = dev.decode(ntt.ntt_inv_nogather(dev, ntt.ntt_fwd_nogather(dev, ea)))
+    assert (want == got).all()
+
+
+def test_device_stage_tables_rejects_wide_modulus():
+    from tpu_ntt.params import make_params
+
+    with pytest.raises(ValueError, match="single-word"):
+        tables.device_stage_tables(make_params(256, P60_4096.q))

@@ -46,7 +46,8 @@ class NttPlan:
     constants, so a jitted transform embeds the tables once.
     """
 
-    def __init__(self, p: NttParams, reduction: Reduction | None = None):
+    def __init__(self, p: NttParams, reduction: Reduction | None = None,
+                 device_tables: bool = False):
         self.p = p
         self.ring = make_ring(p, reduction)
         n, q = p.n, p.q
@@ -56,6 +57,18 @@ class NttPlan:
         self.bitrev = np.array(
             [int(f"{i:0{p.log_n}b}"[::-1], 2) for i in range(n)], dtype=np.int32
         )
+
+        if device_tables:
+            # Runtime-(n, q) path: every table generated ON DEVICE from the
+            # scalar roots (log-doubling ladders + static slices) — no
+            # O(n log n) host big-int work.  Bit-exact vs the host builds
+            # below (tests/test_tables.py::test_device_stage_tables_*);
+            # single-word rings only (the band dispatch routes to XLA).
+            dt = tables.device_stage_tables(p, getattr(self.ring, "reduction",
+                                                       None))
+            for k, v in dt.items():
+                setattr(self, k, v)
+            return
 
         enc_tw = self.ring.encode_tw
         fwd = tables.stage_twiddles(n, p.omega, q)
