@@ -26,7 +26,8 @@ import numpy as np
 import jax
 
 from tpu_ntt import PRESETS, dispatch
-from tpu_ntt.benchlib import device_seconds_per_iter
+from tpu_ntt.benchlib import (device_seconds_per_iter,
+                              device_seconds_per_iter_binary)
 from tpu_ntt.params import make_params
 
 # beyond-reference size: n = 32768, 60-bit prime of 2-adicity 17 (the
@@ -76,7 +77,16 @@ def bench_case(name, batch, iters, kind="nwc"):
         dt = device_seconds_per_iter(fn, a, iters=iters)
     else:
         b = make_batch(p, pairs, batch, 2)
-        dt = device_seconds_per_iter(fn, a, b, iters=iters)
+        # COMPOSED backends (multi-dispatch products: xla/fourstep) must be
+        # timed with both operands loop-carried, or XLA's while-loop
+        # invariant code motion hoists NTT(b) out of the timing loop and
+        # inflates the rate ~1.2-1.7x (BENCH_NOTES.md round-3 honesty
+        # audit).  Single-pallas_call backends are opaque to ICM; the
+        # plain chain avoids the swap-chain's loop-carry copy overhead.
+        if "fourstep" in impl or "xla" in impl:
+            dt = device_seconds_per_iter_binary(fn, a, b, iters=iters)
+        else:
+            dt = device_seconds_per_iter(fn, a, b, iters=iters)
     rate = batch / dt
     log(f"  {name} {kind} [{impl}]: batch={batch} {dt * 1e3:.3f} ms/iter "
         f"-> {rate:,.0f} op/s")

@@ -50,3 +50,17 @@ def test_kernel_phase_report_smoke():
     for key in ("fwd", "inv", "cached", "total", "pointwise_derived"):
         assert rep[key] >= 0
     assert rep["poly_mults_per_sec"] > 0
+
+
+def test_binary_swap_chain_timer():
+    """The hoist-proof binary timer runs the swap-chain body and returns a
+    sane positive slope (semantics: each iteration advances (a, b) ->
+    (b, fn(a, b)), so no operand is loop-invariant)."""
+    from tpu_ntt.benchlib import device_seconds_per_iter_binary
+
+    a = jnp.ones((8, 128), jnp.uint32)
+    b = jnp.full((8, 128), 2, jnp.uint32)
+    dt = device_seconds_per_iter_binary(
+        lambda x, y: (x + y) % jnp.uint32(97), a, b, iters=(2, 10)
+    )
+    assert 0 < dt < 1.0

@@ -441,6 +441,48 @@ def test_kernel_fourstep_solinas_vs_native(rng=random.Random(43)):
     assert [int(v) for v in got[0]] == native.nwc_fast(a, b, q, p.psi)
 
 
+def test_kernel_fourstep_fused_row_matches_composed(rng=random.Random(45)):
+    """The fused row stage (ONE row_k.cyclic_poly_mult replacing
+    rowF x2 + XLA pointwise + rowI; the round-3 large-N attack) is
+    bit-exact vs the composed control path — the convolution-theorem
+    identity rowI(rowF(ma) . rowF(mb)) == cyclic_n2(ma, mb) holds exactly
+    because both sides are bit-exact cyclic convolutions mod q."""
+    q = 786433
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    nrng = np.random.default_rng(45)
+    a = nrng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+    a[0, :3] = [0, 1, q - 1]
+    ea, eb = fs.encode([list(map(int, a[0]))]), fs.encode(
+        [list(map(int, a[1]))])
+    fused = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, ea, eb, fused_row=True))
+    composed = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, ea, eb, fused_row=False))
+    assert [int(v) for v in fused[0]] == [int(v) for v in composed[0]]
+
+
+def test_kernel_fourstep_scaled_row_matches_composed(rng=random.Random(46)):
+    """Pairs-kernel variant of the fused-row A/B: the 60-bit path takes
+    the cyclic_poly_mult_scaled branch (outer mids folded INTO the row
+    kernel as entry/exit Shoup scales with the period-P BlockSpec), which
+    must stay bit-exact vs the composed control."""
+    q = (1 << 60) - (1 << 18) + 1
+    p = make_params(1 << 16, q)
+    fs = sharded.KernelFourStep(p, 256, 256, interpret=True)
+    assert fs.row_scales is not None  # the fold applies on this path
+    nrng = np.random.default_rng(46)
+    a = nrng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+    a[0, :3] = [0, 1, q - 1]
+    ea, eb = fs.encode([list(map(int, a[0]))]), fs.encode(
+        [list(map(int, a[1]))])
+    fused = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, ea, eb, fused_row=True))
+    composed = fs.decode(
+        sharded.fourstep_nwc_poly_mult_kernel(fs, ea, eb, fused_row=False))
+    assert [int(v) for v in fused[0]] == [int(v) for v in composed[0]]
+
+
 def test_sharded_kernel_locals_nwc_vs_native(rng=random.Random(42)):
     """Distributed four-step with fused-kernel locals: passing a
     KernelFourStep to ShardedNtt runs the column/row passes AS the Pallas

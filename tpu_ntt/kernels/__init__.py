@@ -27,7 +27,7 @@ def plan_for(p: NttParams):
     (BENCH_NOTES.md round-2 width-band A/B):
 
       * width <= 24 at one-tile sizes    -> single-word int8 kernel (mxu):
-        1.86M/s vs 0.98M/s XLA at n=4096 B=2048.
+        1.86M/s vs 921k/s XLA at n=4096 B=2048.
       * Goldilocks prime, n <= 32768     -> 9-digit phi-fold kernel (gl64):
         425k/s vs 137k/s XLA GoldilocksRing.
       * Solinas trinomial q = 2^a - 2^b + 1 (48 <= a <= 62, fold bounds
@@ -39,7 +39,7 @@ def plan_for(p: NttParams):
         (mxu64): 413k/s vs 125k/s XLA Ring64 (n=4096 B=2048).
       * width 25..30 (any n) and width <= 24 above the one-tile cap -> NONE:
         the single-word XLA merged path (Ring32, Shoup) beats the
-        double-word kernel ~2.1x wherever it exists (974k vs 469k at
+        double-word kernel ~2.1x wherever it exists (pre-audit 974k vs 469k at
         n=4096 B=2048; 100k vs 48k at n=32768 B=256) — the kernel's
         8-digit machinery is priced for 62-bit operands and cannot be
         narrowed below int8 digits.
@@ -48,8 +48,8 @@ def plan_for(p: NttParams):
         diagonals) exceed the 16 MB scoped-VMEM limit on v5e (17.1 MB
         even at one group per step), so the size cannot compile; the
         dispatch layer routes it to the kernel-locals four-step instead,
-        which also WINS (13.9k vs 3.6k nwc/s flat-XLA w60; 12.7k vs 3.3k
-        Goldilocks).
+        which also WINS (12.3k vs 3.6k nwc/s flat-XLA w60; 11.9k vs 3.3k
+        Goldilocks; honest swap-chain rates, BENCH_NOTES round-3 audit).
     """
     cls = covers(p.n, p.q)
     return cls(p) if cls is not None else None

@@ -783,6 +783,49 @@ class MxuPlan64:
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
+    def _cyclic_scaled_kernel(
+        self, a_hi, a_lo, b_hi, b_lo,
+        pre_hi, pre_lo, pre_shi, pre_slo,
+        post_hi, post_lo, post_shi, post_slo,
+        w1, w2, w1i_exit, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo,
+        midi_hi, midi_lo, midi_shi, midi_slo,
+        out_hi, out_lo,
+    ):
+        """``_cyclic_kernel`` with folded per-element entry/exit Shoup
+        scales: out = post . INTT(NTT(pre . a) ∘ NTT(pre . b)).
+
+        Used by the kernel-locals four-step (sharded.KernelFourStep) to
+        absorb the OUTER mid tables into the fused row product — the
+        three XLA mid-fusion passes (and their full-array HBM round
+        trips) become in-register VPU work (round-3 large-N attack,
+        BENCH_NOTES.md).  Strict shoup_mul64 at both folds (entry feeds
+        the digit scan which wants [0, q); exit must emit plain words),
+        so q < 2^62 — the Goldilocks subclass keeps the XLA mid path."""
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+
+        def fwd(x, g):
+            x = shoup_mul64(x, (pre_hi[g], pre_lo[g]),
+                            (pre_shi[g], pre_slo[g]), self.q)
+            x = self._matmul_mont(x, w1, left=True, final=False)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]), g)
+            fb = fwd((b_hi[g], b_lo[g]), g)
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)  # n^-1 folded
+            r = self._matmul_mont(c, w1i_exit, left=True)
+            r = shoup_mul64(r, (post_hi[g], post_lo[g]),
+                            (post_shi[g], post_slo[g]), self.q)
+            out_hi[g] = r[0]
+            out_lo[g] = r[1]
+
     def _fwd_kernel(
         self, x_hi, x_lo, w1, w2p,
         mid_hi, mid_lo, mid_shi, mid_slo,
@@ -1003,8 +1046,13 @@ class MxuPlan64:
         return (hi.reshape(g, self.rows, LANES),
                 lo.reshape(g, self.rows, LANES), b)
 
-    def _call(self, kernel, data, tables, interpret):
-        """data: flat tuple of (G,128,128) arrays; returns (hi, lo)."""
+    def _call(self, kernel, data, tables, interpret, scales=()):
+        """data: flat tuple of (G,128,128) arrays; returns (hi, lo).
+
+        ``scales``: optional (P,128,128) planes whose group pattern
+        repeats every P data groups (the four-step outer mids) — block
+        index i reads scale block i % (P/gps), so the plane rides VMEM
+        at 1/Pth the data traffic instead of being tiled to full size."""
         gps = self._eff_gps(data[0].shape[0] * self.t)
         g = data[0].shape[0]
         data_spec = pl.BlockSpec(
@@ -1017,7 +1065,16 @@ class MxuPlan64:
             zeros = lambda *_: (0,) * t.ndim
             return pl.BlockSpec(t.shape, zeros, memory_space=pltpu.VMEM)
 
-        in_specs = [data_spec] * len(data) + [spec_for(t) for t in tables]
+        def scale_spec(t):
+            nblk = t.shape[0] // gps
+            return pl.BlockSpec(
+                (gps, self.rows, LANES), lambda i, k=nblk: (i % k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = ([data_spec] * len(data)
+                    + [scale_spec(t) for t in scales]
+                    + [spec_for(t) for t in tables])
         compiler_params = None
         if self.dimension_semantics is not None and not interpret:
             compiler_params = pltpu.CompilerParams(
@@ -1034,7 +1091,7 @@ class MxuPlan64:
             out_specs=(data_spec, data_spec),
             interpret=interpret,
             compiler_params=compiler_params,
-        )(*data, *tables)
+        )(*data, *scales, *tables)
 
     def _unflatten(self, out, bsz):
         return (
@@ -1083,6 +1140,41 @@ class MxuPlan64:
                 *self.mid_shoup, *self.mid_inv_fold,
             ),
             interpret,
+        )
+        return self._unflatten(out, bsz)
+
+    def cyclic_poly_mult_scaled(self, a, b, pre, post,
+                                interpret: bool = False):
+        """Cyclic product with folded per-element entry/exit scales:
+        post . INTT(NTT(pre . a) ∘ NTT(pre . b)).
+
+        ``pre``/``post``: four uint32 planes each (w_hi, w_lo, ws_hi,
+        ws_lo — strict Shoup pairs), shaped (P, 128, 128) and grouped
+        exactly like _group_batch groups the data; data group G is scaled
+        by plane row G % P (the four-step outer-mid pattern repeats every
+        P = n1_outer/t groups).  Strict Shoup needs q < 2^62; the
+        Goldilocks subclass inherits the guard and keeps XLA mids."""
+        if self.p.q >= 1 << 62:
+            raise ValueError(
+                "cyclic_poly_mult_scaled requires q < 2^62 (strict Shoup)"
+            )
+        ga_hi, ga_lo, bsz = self._group_batch(*a)
+        gb_hi, gb_lo, _ = self._group_batch(*b)
+        gps = self._eff_gps(ga_hi.shape[0] * self.t)
+        if pre[0].shape[0] % gps:
+            raise ValueError(
+                f"scale period {pre[0].shape[0]} not divisible by "
+                f"groups-per-step {gps}"
+            )
+        out = self._call(
+            self._cyclic_scaled_kernel,
+            (ga_hi, ga_lo, gb_hi, gb_lo),
+            (
+                self.w1, self.w2, self.w1i_exit, self.w2i,
+                *self.mid_shoup, *self.mid_inv_fold,
+            ),
+            interpret,
+            scales=(*pre, *post),
         )
         return self._unflatten(out, bsz)
 

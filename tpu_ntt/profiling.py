@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from . import ntt as _ntt
-from .benchlib import device_seconds_per_iter
+from .benchlib import (device_seconds_per_iter,
+                       device_seconds_per_iter_binary)
 from .ntt import NttPlan
 from .params import NttParams
 
@@ -99,7 +100,9 @@ def phase_report(p: NttParams, batch: int = 512,
     out["inv"] = device_seconds_per_iter(
         lambda x: _ntt.nwc_inv_merged(plan, x), a, iters=iters
     )
-    out["total"] = device_seconds_per_iter(
+    # merged product = COMPOSED XLA ops: time it hoist-proof (both operands
+    # loop-carried), else while-loop ICM elides NTT(b) (benchlib docstring)
+    out["total"] = device_seconds_per_iter_binary(
         lambda x, y: _ntt.nwc_poly_mult_merged(plan, x, y), a, b, iters=iters
     )
     counts = op_counts(p)
@@ -152,9 +155,13 @@ def kernel_phase_report(p: NttParams, batch: int = 512,
     out["cached"] = device_seconds_per_iter(
         dispatch.best(p, "cached"), a, b, iters=iters
     )
-    out["total"] = device_seconds_per_iter(
-        dispatch.best(p, "nwc"), a, b, iters=iters
-    )
+    # composed backends (fourstep/xla) need the hoist-proof swap chain;
+    # single-pallas_call backends are ICM-opaque (see bench.py/benchlib)
+    impl = out["impl"]
+    total_timer = (device_seconds_per_iter_binary
+                   if ("fourstep" in impl or "xla" in impl)
+                   else device_seconds_per_iter)
+    out["total"] = total_timer(dispatch.best(p, "nwc"), a, b, iters=iters)
     out["fwd_derived"] = out["total"] - out["cached"]
     out["pointwise_derived"] = max(out["cached"] - out["fwd"] - out["inv"], 0.0)
     counts = op_counts(p)

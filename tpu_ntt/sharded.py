@@ -401,8 +401,11 @@ class KernelFourStep(FourStepPlan):
         )
         self.kmid = enc(mid(p.omega, 1))
         self.kmid_inv = enc(mid(p.omega_inv, 1))
-        self.kmid_nwc = enc(mid(p.omega, p.psi))
-        self.kmid_inv_nwc = enc(mid(p.omega_inv, p.psi_inv))
+        # raw integer mids kept for the in-kernel fold (row_scales)
+        self._kmid_nwc_raw = mid(p.omega, p.psi)
+        self._kmid_inv_nwc_raw = mid(p.omega_inv, p.psi_inv)
+        self.kmid_nwc = enc(self._kmid_nwc_raw)
+        self.kmid_inv_nwc = enc(self._kmid_inv_nwc_raw)
 
     def spectrum_indices(self) -> np.ndarray:
         """(n1, n2) int array: the NATURAL spectrum index held at transform-
@@ -437,6 +440,65 @@ class KernelFourStep(FourStepPlan):
             res = _tmap(lambda a: jnp.moveaxis(a, -1, -2), res)
         return res
 
+    @functools.cached_property
+    def row_scales(self):
+        """Grouped entry/exit Shoup scale planes for the in-kernel outer
+        mid fold (row_k.cyclic_poly_mult_scaled: pre = kmid_nwc, post =
+        kmid_inv_nwc), or None when the fold does not apply (single-word
+        kernel, non-Shoup ring, q >= 2^62, or group period misaligned).
+
+        Plane layout mirrors MxuPlan64._group_batch: a data group packs
+        t consecutive (batch, j1) polynomials into one (128, 128) tile,
+        and since t | n1 the j1 pattern (hence the mid scale) repeats
+        every P = n1/t groups — each plane is (P, 128, 128) and the
+        kernel reads row G % P for data group G."""
+        rk = self.row_k
+        if (not rk.pairs or self.p.q >= 1 << 62
+                or getattr(self.ring, "reduction", None)
+                is not Reduction.SHOUP
+                or self.n1 % rk.t or self.n1 // rk.t < 2):
+            return None
+        from .modmath import encode64
+
+        q = self.p.q
+        P = self.n1 // rk.t
+        shp = (P, rk.rows, 128)
+
+        def planes(table):
+            flat = [int(v) for v in table.reshape(-1)]
+            quot = [(v << 64) // q for v in flat]
+            enc = lambda vals: tuple(
+                a.reshape(shp) for a in encode64(vals))
+            return (*enc(flat), *enc(quot))
+
+        return (planes(self._kmid_nwc_raw),
+                planes(self._kmid_inv_nwc_raw))
+
+    def _apply2(self, kplan, meth, x: Elem, y: Elem,
+                axis_from_end: int) -> Elem:
+        """Two-operand variant of :meth:`_apply` (the fused cyclic row
+        product): both operands get the same 2D layout, ``meth(x2, y2)``
+        runs once."""
+        def to2d(a):
+            if axis_from_end == 2:
+                a = jnp.moveaxis(a, -2, -1)
+            return a.reshape(-1, a.shape[-1]), a.shape
+
+        if kplan.pairs:
+            xh, sh = to2d(x[0])
+            xl, _ = to2d(x[1])
+            yh, _ = to2d(y[0])
+            yl, _ = to2d(y[1])
+            out = meth((xh, xl), (yh, yl), self.interpret)
+            res = tuple(o.reshape(sh) for o in out)
+        else:
+            x2, sh = to2d(x)
+            y2, _ = to2d(y)
+            res = meth(x2, y2, self.interpret).reshape(sh)
+        if axis_from_end == 2:
+            res = _tmap(lambda a: jnp.moveaxis(a, -1, -2), res)
+        return res
+
 
 def fourstep_fwd_kernel(fs: KernelFourStep, x: Elem,
                         nwc: bool = False) -> Elem:
@@ -463,13 +525,41 @@ def fourstep_inv_kernel(fs: KernelFourStep, x: Elem,
 
 
 def fourstep_nwc_poly_mult_kernel(fs: KernelFourStep, a: Elem,
-                                  b: Elem) -> Elem:
+                                  b: Elem, fused_row: bool = True) -> Elem:
     """Negacyclic product via kernel-locals four-step — the large-N
     single-chip production path (dispatch routes n > 65536 here when the
-    sub-transforms have kernel coverage)."""
-    fa = fourstep_fwd_kernel(fs, a, nwc=True)
-    fb = fourstep_fwd_kernel(fs, b, nwc=True)
-    return fourstep_inv_kernel(fs, fs.ring.mul(fa, fb), nwc=True)
+    sub-transforms have kernel coverage).
+
+    ``fused_row=True`` (default) collapses the whole row stage: by the
+    convolution theorem, rowI(rowF(ma) . rowF(mb)) IS the length-n2
+    cyclic convolution of the mid-multiplied column spectra, so ONE
+    ``row_k.cyclic_poly_mult`` launch replaces two forward row kernels,
+    the XLA pointwise pass (a multi-op VPU emulation for pair rings), and
+    the inverse row kernel — removing three full-array HBM round trips
+    per product and amortizing the row kernel's table loads once instead
+    of three times (round-3 large-N attack, BENCH_NOTES.md; the identity
+    is exact because both sides are bit-exact cyclic convolutions mod q).
+    ``fused_row=False`` keeps the composed path as the A/B control."""
+    if not fused_row:
+        fa = fourstep_fwd_kernel(fs, a, nwc=True)
+        fb = fourstep_fwd_kernel(fs, b, nwc=True)
+        return fourstep_inv_kernel(fs, fs.ring.mul(fa, fb), nwc=True)
+    ma = fs._apply(fs.col_k, fs.col_k.nwc_ntt_fwd, a, 2)
+    mb = fs._apply(fs.col_k, fs.col_k.nwc_ntt_fwd, b, 2)
+    scales = fs.row_scales
+    if scales is not None:
+        # outer mids folded INTO the row kernel (entry/exit Shoup): zero
+        # XLA elementwise passes between the col and row stages
+        pre, post = scales
+        meth = lambda x, y, interp: fs.row_k.cyclic_poly_mult_scaled(
+            x, y, pre, post, interp)
+        c = fs._apply2(fs.row_k, meth, ma, mb, 1)
+    else:  # e.g. Goldilocks (strict Shoup needs q < 2^62): XLA mids
+        tw = _tmap(jnp.asarray, fs.kmid_nwc)
+        ma, mb = fs.ring.mul_tw(ma, tw), fs.ring.mul_tw(mb, tw)
+        c = fs._apply2(fs.row_k, fs.row_k.cyclic_poly_mult, ma, mb, 1)
+        c = fs.ring.mul_tw(c, _tmap(jnp.asarray, fs.kmid_inv_nwc))
+    return fs._apply(fs.col_k, fs.col_k.nwc_ntt_inv, c, 2)
 
 
 # ---------------------------------------------------------------------------
