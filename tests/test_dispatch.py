@@ -40,11 +40,13 @@ def test_impl_selection():
     # kernel takes over up to n = 32768
     assert (dispatch.impl_name(make_params(32768, 576460752308273153))
             == "pallas-mxu64")
-    # n = 65536 double-word: the flat kernel exceeds scoped VMEM on v5e
-    # and the kernel-locals four-step beats flat XLA 3.8-3.9x, so the
-    # four-step window opens one size early for width > 30 (incl. GL)
+    # n = 65536 double-word: the DENSE flat kernel exceeds scoped VMEM on
+    # v5e so the four-step window opens one size early for width > 30 —
+    # but for q < 2^62 the depth-2 split-radix left transform lets the
+    # flat fused kernel compile and win the nwc product 1.7x (round 3),
+    # so that single op is overridden on top of the four-step backend
     assert (dispatch.impl_name(make_params(65536, 576460752308273153))
-            == "kernel-fourstep-64")
+            == "kernel-fourstep-64+flat-split2-nwc")
     assert dispatch.impl_name(make_params(65536, GOLDILOCKS_Q)) == \
         "kernel-fourstep-64"
     # ...while single-word widths keep the flat XLA path at 65536
@@ -403,10 +405,46 @@ def test_dispatch_kernel_fourstep_single_word(rng):
     assert (rt == a).all()
 
 
+def test_dispatch_flat_split2_nwc_override_n65536(rng):
+    """At n = 65536 width 31..62 the nwc op rides the FLAT depth-2-split
+    kernel while every other op keeps the four-step backend; both must
+    agree with the native oracle and with each other (the override is a
+    policy change, not a semantics change)."""
+    from tpu_ntt import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    q = (1 << 60) - (1 << 18) + 1
+    p = make_params(1 << 16, q)
+    assert dispatch.impl_name(p) == "kernel-fourstep-64+flat-split2-nwc"
+    nrng = np.random.default_rng(44)
+    a = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    b = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    a[0, :3] = [0, 1, q - 1]
+    phi, plo = dispatch.best_nwc_poly_mult(p)(a, b)
+    prod = (np.asarray(phi).astype(object) << 32) + np.asarray(
+        plo).astype(object)
+    want = native.nwc_fast(
+        [int(v) for v in a[0]], [int(v) for v in b[0]], q, p.psi)
+    assert [int(v) for v in prod[0]] == want
+
+    # the non-overridden ops still compose to the same product
+    spec = dispatch.best_nwc_spectrum(p)(b)
+    chi, clo = dispatch.best_nwc_poly_mult_cached(p)(a, spec)
+    cprod = (np.asarray(chi).astype(object) << 32) + np.asarray(
+        clo).astype(object)
+    assert [int(v) for v in cprod[0]] == want
+
+
 def test_dispatch_fourstep_large_n_double_word(rng):
-    """n = 2^17 with a 2-adicity-21 60-bit prime through the pairs path."""
+    """n = 2^17 with a 2-adicity-21 60-bit prime through the pairs path.
+
+    fwd/inv ride the kernel-locals four-step; the nwc product is
+    overridden onto the FLAT depth-3-split kernel (round 3: 9.2k vs
+    6.5k nwc/s on v5e), so the oracle check below covers that path."""
     q = 576460752364240897
     p = make_params(1 << 17, q)
+    assert dispatch.impl_name(p) == "kernel-fourstep-64+flat-split3-nwc"
     nrng = np.random.default_rng(42)
     a = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)
     b = nrng.integers(0, q, size=(1, p.n), dtype=np.uint64)

@@ -260,6 +260,75 @@ def test_split_left_bit_identical_n32768(rng):
             assert np.array_equal(np.asarray(x), np.asarray(y)), cls.__name__
 
 
+def test_split2_left_bit_identical_n65536(rng):
+    """Depth-2 split-radix left transform (n1 = 512, n = 65536): two DIF
+    butterfly levels + four 128-contraction leaves must be bit-identical
+    to the dense (512, 512) left matmul, for both the generic and the
+    Solinas plans.  On hardware the dense control CANNOT compile (scoped
+    VMEM) — the split is what makes the flat 65536 kernel exist at all —
+    but in interpret mode both paths run, so the identity is testable."""
+    from tpu_ntt.kernels.sol64 import SolinasPlan64
+    from tpu_ntt.params import make_params
+
+    q = (1 << 60) - (1 << 18) + 1  # trinomial with 2-adicity 18
+    p = make_params(65536, q)
+
+    def enc(rows):
+        return (
+            np.array([[x >> 32 for x in v] for v in rows], dtype=np.uint32),
+            np.array([[x & 0xFFFFFFFF for x in v] for v in rows],
+                     dtype=np.uint32),
+        )
+
+    a = enc([[rng.randrange(q) for _ in range(p.n)]])
+    b = enc([[q - 1] * p.n])  # boundary operand
+    for cls in (MxuPlan64, SolinasPlan64):
+        dense = cls(p)
+        dense.split_left = False
+        split = cls(p)
+        assert split.split_left and hasattr(split, "w1s2_nwc")
+        d = dense.nwc_poly_mult(a, b, interpret=True)
+        s = split.nwc_poly_mult(a, b, interpret=True)
+        for x, y in zip(d, s):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), cls.__name__
+
+
+def test_split3_left_bit_identical_n131072(rng):
+    """Depth-3 split-radix left transform (n1 = 1024, n = 2^17): three
+    DIF butterfly levels + eight 128-contraction leaves must be
+    bit-identical to the dense (1024, 1024) left matmul, for both the
+    generic and the Solinas plans.  Like depth-2 this is an EXISTENCE
+    proof for the flat kernel (the dense left blows scoped VMEM 4x on
+    hardware); one toggled plan instance keeps the 33 s host table build
+    from doubling.  The Solinas plan does NOT cover this size — its
+    carry-save fold bound proof fails at lane_bound(2^17) >= 2^27
+    (sol64._FoldPlan step-1 bias) — so covers_q must say no and the
+    generic plan carries the size alone."""
+    from tpu_ntt.kernels.sol64 import SolinasPlan64
+    from tpu_ntt.params import make_params
+
+    q = (1 << 60) - (1 << 18) + 1  # trinomial with 2-adicity 18 = log2(2n)
+    assert not SolinasPlan64.covers_q(q, 1 << 17)
+    p = make_params(1 << 17, q)
+
+    def enc(rows):
+        return (
+            np.array([[x >> 32 for x in v] for v in rows], dtype=np.uint32),
+            np.array([[x & 0xFFFFFFFF for x in v] for v in rows],
+                     dtype=np.uint32),
+        )
+
+    a = enc([[rng.randrange(q) for _ in range(p.n)]])
+    b = enc([[q - 1] * p.n])  # boundary operand
+    plan = MxuPlan64(p)
+    assert plan.split_left and hasattr(plan, "w1s3_nwc")
+    s = plan.nwc_poly_mult(a, b, interpret=True)
+    plan.split_left = False
+    d = plan.nwc_poly_mult(a, b, interpret=True)
+    for x, y in zip(d, s):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_split_left_silently_dense_when_unavailable(rng):
     """At n1 != 256 no split tables exist: the default split_left=True
     must fall back to the dense left matmul, with correct results."""

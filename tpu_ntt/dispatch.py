@@ -288,11 +288,35 @@ def _fourstep_backend(p: NttParams):
 def _backend(p: NttParams):
     """(name, {op: callable}, takes_pairs) — the single policy table."""
     if p.n > _FOURSTEP_MIN_N or (p.n == _FOURSTEP_MIN_N and p.width > 30):
-        # n = 65536 double-word: the flat kernel cannot compile (scoped
-        # VMEM, see kernels.plan_for) and the kernel-locals four-step
-        # beats the flat XLA path 3.8-3.9x (BENCH_NOTES.md round 2), so
-        # the four-step window opens one size earlier for width > 30.
-        return _fourstep_backend(p)
+        # n = 65536 double-word: the DENSE flat kernel cannot compile
+        # (scoped VMEM, see kernels.plan_for) and the kernel-locals
+        # four-step beats the flat XLA path 3.8-3.9x (BENCH_NOTES.md
+        # round 2), so the four-step window opens one size earlier for
+        # width > 30 — EXCEPT the nwc product for q < 2^62, where the
+        # depth-2 (n = 65536) / depth-3 (n = 2^17) split-radix left
+        # transform (mxu64.py) shrinks the left matrices 4x/8x and the
+        # flat fused kernel both compiles and beats the four-step:
+        # 24.3k vs 13.1k nwc/s at 65536 (w60 B=32), 9.2k vs 6.5k at 2^17
+        # (B=8, the depth-3 kernel also needs the lifted Mosaic VMEM cap
+        # — see _call); BENCH_NOTES.md round 3.  Only nwc_poly_mult has
+        # the split wiring, so every other op keeps the four-step
+        # backend.
+        name, ops, split = _fourstep_backend(p)
+        if (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N)
+                and 30 < p.width <= 62):
+            from .kernels.mxu64 import MxuPlan64
+            from .kernels.sol64 import SolinasPlan64
+
+            cls = (SolinasPlan64 if SolinasPlan64.covers_q(p.q, p.n)
+                   else MxuPlan64)
+            mp = cls(p)
+            interp = jax.devices()[0].platform != "tpu"
+            ops = dict(ops)
+            ops["nwc"] = _wrap(
+                lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, mp.pairs)
+            depth = 2 if p.n == _FOURSTEP_MIN_N else 3
+            name = name + f"+flat-split{depth}-nwc"
+        return name, ops, split
 
     from . import kernels as _kernels
 

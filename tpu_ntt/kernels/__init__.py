@@ -43,13 +43,18 @@ def plan_for(p: NttParams):
         n=4096 B=2048; 100k vs 48k at n=32768 B=256) — the kernel's
         8-digit machinery is priced for 62-bit operands and cannot be
         narrowed below int8 digits.
-      * n = 65536 double-word -> NONE: the flat kernel's per-step
-        temporaries (n1 = 512 rows of digit expansions + carry-save
-        diagonals) exceed the 16 MB scoped-VMEM limit on v5e (17.1 MB
-        even at one group per step), so the size cannot compile; the
-        dispatch layer routes it to the kernel-locals four-step instead,
-        which also WINS (12.3k vs 3.6k nwc/s flat-XLA w60; 11.9k vs 3.3k
-        Goldilocks; honest swap-chain rates, BENCH_NOTES round-3 audit).
+      * n = 65536 double-word -> NONE here: the DENSE flat kernel (512
+        x 512 left matrices + carry-save diagonals) exceeds the 16 MB
+        scoped-VMEM limit on v5e (17.1 MB even at one group per step),
+        so plan_for routes the size to the kernel-locals four-step
+        (12.3k vs 3.6k nwc/s flat-XLA w60; 11.9k vs 3.3k Goldilocks).
+        For q < 2^62 the depth-2 split-radix left transform makes the
+        flat NWC kernel compile AND win 1.85x (24.3k nwc/s sol64,
+        BENCH_NOTES round 3); dispatch._backend builds that plan
+        directly and overrides only the nwc op — it is not exposed
+        through plan_for because only nwc_poly_mult has split wiring
+        (a four-step local at n1 = 65536 would need the dense
+        standalone transforms, which cannot compile).
     """
     cls = covers(p.n, p.q)
     return cls(p) if cls is not None else None

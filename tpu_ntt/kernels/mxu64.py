@@ -129,8 +129,13 @@ class MxuPlan64:
 
     def __init__(self, p: NttParams):
         self._check_width(p)
-        if p.n % LANES or not (2 * LANES <= p.n <= 4 * LANES * LANES):
-            raise ValueError(f"n={p.n} must be in [256, 65536] and divide 128")
+        n_cap = (8 if p.q < (1 << 62) else 4) * LANES * LANES
+        if p.n % LANES or not (2 * LANES <= p.n <= n_cap):
+            # 131072 needs the depth-3 split left transform, which needs
+            # the constant Shoup multiply (q < 2^62); the dense left
+            # matrices at n1 = 512/1024 blow scoped VMEM on hardware.
+            raise ValueError(
+                f"n={p.n} must be in [256, {n_cap}] and divide 128")
         self.p = p
         q = p.q
         self.q = q
@@ -359,6 +364,133 @@ class MxuPlan64:
             )
             self.mid_inv_nwc_split = shoup_pair(
                 lambda k1, m2: pow(omega_inv, pi_perm(k1) * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
+
+        # --- Depth-2 split radix (n1 = 512; n = 65536) -------------------
+        # The same DIF recursion applied twice.  Key invariant that makes
+        # it fold flat: each branch's column scale stays GEOMETRIC
+        # (sigma_j = c^j), so every level's butterfly constant
+        # P = sigma_{j+h}/sigma_j = c^h is a single compile-time Shoup
+        # scalar, and the per-row root factors (W^e)^j commute out of the
+        # butterflies into the four leaf 128-DFT matrices' columns:
+        #   level 1 (h=256): u = top + P1*bot, v = top - P1*bot,
+        #     branches (W^2, c) and (W^2, W*c), c = psi128, W = w1;
+        #   level 2 (h=128): constants c^128 resp. (W*c)^128; leaves
+        #     root W^4 (primitive 128th), colbases c, W^2*c, W*c, W^3*c.
+        # Leaf row r holds X1[pi2(r)], pi2(r) = 4*(r%128) + 2*((r>>7)&1)
+        # + (r>>8); the mids are pi2-permuted, the inverse mirrors with
+        # row-scaled leaves and butterflies AFTER (merge constants
+        # ci^128, (ci*w1i)^128, ci^256, ci = psi128_inv).  This is what
+        # makes the FLAT kernel exist at n = 65536 at all: the dense
+        # (512, 512) left matrices blow the 16 MB scoped-VMEM budget
+        # (kernels/__init__.py note), while four 128x128 leaves per
+        # direction fit — and cut left-DFT MACs/coef from 512 to 128.
+        if n1 == 4 * LANES and q < (1 << 62):
+            w1_4 = pow(w1, 4, q)     # primitive 128th root
+            w1i_4 = pow(w1i, 4, q)
+
+            def scaled_dft128_2(root, colbase, rowbase, scale):
+                pows = _pow_table(root, q, LANES)
+                m = np.empty((LANES, LANES), dtype=object)
+                for i in range(LANES):
+                    rs = pow(rowbase, i, q)
+                    for j in range(LANES):
+                        m[i, j] = (pows[(i * j) % LANES] * pow(colbase, j, q)
+                                   % q * rs % q * scale % q)
+                return m
+
+            # forward leaves, output order [EE, EO, OE, OO]
+            self.w1s2_nwc = tuple(
+                make_w(scaled_dft128_2(w1_4, pow(w1, e, q) * psi128 % q,
+                                       1, r96), left=True)
+                for e in (0, 2, 1, 3)
+            )
+            # inverse leaves, consuming the pi2-ordered spectrum
+            self.w1is2_nwc = tuple(
+                make_w(scaled_dft128_2(w1i_4, 1,
+                                       psi128_inv * pow(w1i, e, q) % q,
+                                       r32), left=True)
+                for e in (0, 2, 1, 3)
+            )
+            enc_c = lambda v: (v, (v << 64) // q)
+            self._split2_P1 = enc_c(pow(psi128, 2 * LANES, q))
+            self._split2_P2e = enc_c(pow(psi128, LANES, q))
+            self._split2_P2o = enc_c(pow(w1 * psi128 % q, LANES, q))
+            self._split2_Pi1 = enc_c(pow(psi128_inv, 2 * LANES, q))
+            self._split2_Pi2e = enc_c(pow(psi128_inv, LANES, q))
+            self._split2_Pi2o = enc_c(pow(psi128_inv * w1i % q, LANES, q))
+            pi2 = lambda r: (4 * (r % LANES) + 2 * ((r >> 7) & 1)
+                             + ((r >> 8) & 1))
+            self.mid_nwc_split2 = shoup_pair(
+                lambda k1, m2: pow(omega, pi2(k1) * m2, q)
+                * pow(psi, m2, q) % q
+            )
+            self.mid_inv_nwc_split2 = shoup_pair(
+                lambda k1, m2: pow(omega_inv, pi2(k1) * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
+
+        # --- Depth-3 split radix (n1 = 1024; n = 131072) -----------------
+        # Third application of the same recursion; branch order is
+        # [E*, O*] at every level, so leaf block br (bits e1 e2 e3,
+        # level-major) holds outputs X1[8m + 4*e3 + 2*e2 + e1] and its
+        # leaf colbase is w1^(e1 + 2*e2 + 4*e3) * psi128.  Existence, not
+        # optimization: this is the first FLAT fused kernel at n = 2^17
+        # (dense left is 4x over the VMEM budget; the four-step
+        # composition pays every matmul/VPU pass twice per coefficient).
+        if n1 == 8 * LANES and q < (1 << 62):
+            w1_8 = pow(w1, 8, q)     # primitive 128th root
+            w1i_8 = pow(w1i, 8, q)
+
+            def scaled_dft128_3(root, colbase, rowbase, scale):
+                pows = _pow_table(root, q, LANES)
+                m = np.empty((LANES, LANES), dtype=object)
+                for i in range(LANES):
+                    rs = pow(rowbase, i, q)
+                    for j in range(LANES):
+                        m[i, j] = (pows[(i * j) % LANES] * pow(colbase, j, q)
+                                   % q * rs % q * scale % q)
+                return m
+
+            _LEAF_EXP = (0, 4, 2, 6, 1, 5, 3, 7)  # e1 + 2*e2 + 4*e3 by br
+            self.w1s3_nwc = tuple(
+                make_w(scaled_dft128_3(w1_8, pow(w1, e, q) * psi128 % q,
+                                       1, r96), left=True)
+                for e in _LEAF_EXP
+            )
+            self.w1is3_nwc = tuple(
+                make_w(scaled_dft128_3(w1i_8, 1,
+                                       psi128_inv * pow(w1i, e, q) % q,
+                                       r32), left=True)
+                for e in _LEAF_EXP
+            )
+            enc_c3 = lambda v: (v, (v << 64) // q)
+            self._split3_P1 = enc_c3(pow(psi128, 4 * LANES, q))
+            self._split3_P2e = enc_c3(pow(psi128, 2 * LANES, q))
+            self._split3_P2o = enc_c3(pow(w1 * psi128 % q, 2 * LANES, q))
+            # level-3 constants by branch (e1, e2): (w1^(e1+2e2)*psi128)^128
+            self._split3_P3 = tuple(
+                enc_c3(pow(pow(w1, e, q) * psi128 % q, LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            self._split3_Pi1 = enc_c3(pow(psi128_inv, 4 * LANES, q))
+            self._split3_Pi2 = tuple(
+                enc_c3(pow(psi128_inv * pow(w1i, e, q) % q, 2 * LANES, q))
+                for e in (0, 1)
+            )
+            self._split3_Pi3 = tuple(
+                enc_c3(pow(psi128_inv * pow(w1i, e, q) % q, LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            pi3 = lambda r: (8 * (r % LANES) + 4 * ((r >> 7) & 1)
+                             + 2 * ((r >> 8) & 1) + ((r >> 9) & 1))
+            self.mid_nwc_split3 = shoup_pair(
+                lambda k1, m2: pow(omega, pi3(k1) * m2, q)
+                * pow(psi, m2, q) % q
+            )
+            self.mid_inv_nwc_split3 = shoup_pair(
+                lambda k1, m2: pow(omega_inv, pi3(k1) * m2, q)
                 * pow(psi_inv, m2, q) % q * p.n_inv % q
             )
 
@@ -642,11 +774,15 @@ class MxuPlan64:
     #: the n = 32768 product's total MXU ops — bench/roofline.py).
     #: Hardware A/B at n = 32768 B=256 (DESIGN.md §2.5c): sol64 44.9k ->
     #: 49.8k op/s (+11%), mxu64 34.6k -> 46.8k (+35%), bit-identical.
+    #: At n1 = 512 (n = 65536) the DEPTH-2 split is not an optimization
+    #: but an existence proof: the dense (512, 512) left matrices blow
+    #: the 16 MB scoped-VMEM budget, the four-leaf split compiles — the
+    #: flat kernel's window extends to 65536 through it (q < 2^62).
     #: Default ON; silently inapplicable (dense path) when the split
-    #: tables don't exist (n1 != 256, or q >= 2^62 where the constant
-    #: Shoup multiply is invalid — the Goldilocks subclass).  Currently
-    #: wired into nwc_poly_mult (the ledger workload); the other entry
-    #: points keep the dense left transform.
+    #: tables don't exist (n1 not in {256, 512}, or q >= 2^62 where the
+    #: constant Shoup multiply is invalid — the Goldilocks subclass).
+    #: Currently wired into nwc_poly_mult (the ledger workload); the
+    #: other entry points keep the dense left transform.
     split_left = True
 
     def _shoup_const(self, x, c_pair):
@@ -690,6 +826,185 @@ class MxuPlan64:
         bot = self._shoup_const(sub_mod64(A, B, self.q), self._split_Pi)
         return (jnp.concatenate([top[0], bot[0]], axis=0),
                 jnp.concatenate([top[1], bot[1]], axis=0))
+
+    def _left_fwd_split2(self, x, ws):
+        """Depth-2 split-radix forward left transform of a (512, 128)
+        pair block: two DIF butterfly levels (each one constant-Shoup
+        pass + mod add/sub) feeding FOUR 128-contraction leaf matmuls;
+        output row r holds X1[pi2(r)].  All slices are contiguous
+        halves (the only slice shape Mosaic supports)."""
+        hi, lo = x
+        h = 2 * LANES
+        t1 = self._shoup_const((hi[h:], lo[h:]), self._split2_P1)
+        xt = (hi[:h], lo[:h])
+        u = add_mod64(xt, t1, self.q)
+        v = sub_mod64(xt, t1, self.q)
+
+        def half(y, P2, wa, wb):
+            yh, yl = y
+            t = self._shoup_const((yh[LANES:], yl[LANES:]), P2)
+            yt = (yh[:LANES], yl[:LANES])
+            e = self._matmul_mont(add_mod64(yt, t, self.q), wa,
+                                  left=True, final=False)
+            o = self._matmul_mont(sub_mod64(yt, t, self.q), wb,
+                                  left=True, final=False)
+            return e, o
+
+        ee, eo = half(u, self._split2_P2e, ws[0], ws[1])
+        oe, oo = half(v, self._split2_P2o, ws[2], ws[3])
+        return (jnp.concatenate([ee[0], eo[0], oe[0], oo[0]], axis=0),
+                jnp.concatenate([ee[1], eo[1], oe[1], oo[1]], axis=0))
+
+    def _left_inv_split2(self, c, ws):
+        """Depth-2 mirror for the inverse left transform: four row-scaled
+        128-DFT leaves on the pi2-ordered spectrum quarters, then two
+        merge levels of butterfly-after (top = A + B, bot = Pi*(A - B));
+        output rows are natural coefficient order, [0, q)."""
+        hi, lo = c
+        h = 2 * LANES
+        top_h, bot_h = (hi[:h], lo[:h]), (hi[h:], lo[h:])
+
+        def merge(blk, wa, wb, Pi):
+            bh, bl = blk
+            A = self._matmul_mont((bh[:LANES], bl[:LANES]), wa, left=True)
+            B = self._matmul_mont((bh[LANES:], bl[LANES:]), wb, left=True)
+            top = add_mod64(A, B, self.q)
+            bot = self._shoup_const(sub_mod64(A, B, self.q), Pi)
+            return top, bot
+
+        e_top, e_bot = merge(top_h, ws[0], ws[1], self._split2_Pi2e)
+        o_top, o_bot = merge(bot_h, ws[2], ws[3], self._split2_Pi2o)
+        E = (jnp.concatenate([e_top[0], e_bot[0]], axis=0),
+             jnp.concatenate([e_top[1], e_bot[1]], axis=0))
+        O = (jnp.concatenate([o_top[0], o_bot[0]], axis=0),
+             jnp.concatenate([o_top[1], o_bot[1]], axis=0))
+        top = add_mod64(E, O, self.q)
+        bot = self._shoup_const(sub_mod64(E, O, self.q), self._split2_Pi1)
+        return (jnp.concatenate([top[0], bot[0]], axis=0),
+                jnp.concatenate([top[1], bot[1]], axis=0))
+
+    def _left_fwd_split3(self, x, ws):
+        """Depth-3 split-radix forward left transform of a (1024, 128)
+        pair block: three DIF butterfly levels feeding EIGHT
+        128-contraction leaf matmuls; output row r holds X1[pi3(r)]."""
+        hi, lo = x
+        h = 4 * LANES
+        t1 = self._shoup_const((hi[h:], lo[h:]), self._split3_P1)
+        xt = (hi[:h], lo[:h])
+        u = add_mod64(xt, t1, self.q)
+        v = sub_mod64(xt, t1, self.q)
+
+        def bfly(y, P, h2):
+            yh, yl = y
+            t = self._shoup_const((yh[h2:], yl[h2:]), P)
+            yt = (yh[:h2], yl[:h2])
+            return (add_mod64(yt, t, self.q), sub_mod64(yt, t, self.q))
+
+        outs = []
+        for blk, P2, P3pair, wq in (
+            (u, self._split3_P2e, self._split3_P3[:2], ws[:4]),
+            (v, self._split3_P2o, self._split3_P3[2:], ws[4:]),
+        ):
+            e_blk, o_blk = bfly(blk, P2, 2 * LANES)
+            for sub, P3, wpair in ((e_blk, P3pair[0], wq[:2]),
+                                   (o_blk, P3pair[1], wq[2:])):
+                a_blk, b_blk = bfly(sub, P3, LANES)
+                outs.append(self._matmul_mont(a_blk, wpair[0],
+                                              left=True, final=False))
+                outs.append(self._matmul_mont(b_blk, wpair[1],
+                                              left=True, final=False))
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    def _left_inv_split3(self, c, ws):
+        """Depth-3 mirror for the inverse left transform: eight row-scaled
+        128-DFT leaves on the pi3-ordered spectrum eighths, then three
+        merge levels; output rows are natural coefficient order."""
+        def halves(pair):
+            h2 = pair[0].shape[0] // 2
+            return ((pair[0][:h2], pair[1][:h2]),
+                    (pair[0][h2:], pair[1][h2:]))
+
+        blocks = []
+        for quad in halves(c):
+            for sub in halves(quad):
+                blocks.extend(halves(sub))
+        leaf = [self._matmul_mont(b, w, left=True)
+                for b, w in zip(blocks, ws)]
+
+        def merge(A, B, Pi):
+            top = add_mod64(A, B, self.q)
+            bot = self._shoup_const(sub_mod64(A, B, self.q), Pi)
+            return (jnp.concatenate([top[0], bot[0]], axis=0),
+                    jnp.concatenate([top[1], bot[1]], axis=0))
+
+        m3 = [merge(leaf[2 * i], leaf[2 * i + 1], self._split3_Pi3[i])
+              for i in range(4)]
+        m2 = [merge(m3[0], m3[1], self._split3_Pi2[0]),
+              merge(m3[2], m3[3], self._split3_Pi2[1])]
+        return merge(m2[0], m2[1], self._split3_Pi1)
+
+    def _nwc_kernel_split3(
+        self, a_hi, a_lo, b_hi, b_lo,
+        w0, w1f, w2f, w3f, w4f, w5f, w6f, w7f, w2,
+        wi0, wi1, wi2, wi3, wi4, wi5, wi6, wi7, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
+    ):
+        """The fused NWC pipeline with depth-3 split-radix left
+        transforms (n1 = 1024; mids pi3-permuted)."""
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+        wf = (w0, w1f, w2f, w3f, w4f, w5f, w6f, w7f)
+        wi = (wi0, wi1, wi2, wi3, wi4, wi5, wi6, wi7)
+
+        def fwd(x):
+            x = self._left_fwd_split3(x, wf)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._left_inv_split3(c, wi)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
+    def _nwc_kernel_split2(
+        self, a_hi, a_lo, b_hi, b_lo,
+        wee, weo, woe, woo, w2, wiee, wieo, wioe, wioo, w2i,
+        mid_hi, mid_lo, mid_shi, mid_slo, midi_hi, midi_lo, midi_shi,
+        midi_slo, out_hi, out_lo,
+    ):
+        """The fused NWC pipeline with depth-2 split-radix left
+        transforms (n1 = 512; identical output to _nwc_kernel — the mids
+        are pi2-permuted so the pipeline is internally consistent)."""
+        mid_w = (mid_hi[...], mid_lo[...])
+        mid_ws = (mid_shi[...], mid_slo[...])
+        midi_w = (midi_hi[...], midi_lo[...])
+        midi_ws = (midi_shi[...], midi_slo[...])
+        wf = (wee, weo, woe, woo)
+        wi = (wiee, wieo, wioe, wioo)
+
+        def fwd(x):
+            x = self._left_fwd_split2(x, wf)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._left_inv_split2(c, wi)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
 
     def _nwc_kernel_split(
         self, a_hi, a_lo, b_hi, b_lo,
@@ -1076,10 +1391,19 @@ class MxuPlan64:
                     + [scale_spec(t) for t in scales]
                     + [spec_for(t) for t in tables])
         compiler_params = None
+        cp_kw = {}
+        if self.n1 * gps > 512 and not interpret:
+            # Beyond the measured n1 * gps <= 512 window (see _eff_gps)
+            # the per-step temporaries exceed Mosaic's default 16 MB
+            # scoped-VMEM budget (27.7 MB at n1 = 1024); v5e has 128 MiB
+            # of VMEM, so raise the cap for these large flat plans only —
+            # every measured config at or below the window keeps the
+            # default limit and its recorded performance.
+            cp_kw["vmem_limit_bytes"] = 100 * 1024 * 1024
         if self.dimension_semantics is not None and not interpret:
-            compiler_params = pltpu.CompilerParams(
-                dimension_semantics=(self.dimension_semantics,)
-            )
+            cp_kw["dimension_semantics"] = (self.dimension_semantics,)
+        if cp_kw:
+            compiler_params = pltpu.CompilerParams(**cp_kw)
         return pl.pallas_call(
             kernel,
             grid=(g // gps,),
@@ -1104,6 +1428,30 @@ class MxuPlan64:
         (B, n), natural order, coefficients in [0, q)."""
         ga_hi, ga_lo, bsz = self._group_batch(*a)
         gb_hi, gb_lo, _ = self._group_batch(*b)
+        if self.split_left and hasattr(self, "w1s3_nwc"):
+            out = self._call(
+                self._nwc_kernel_split3,
+                (ga_hi, ga_lo, gb_hi, gb_lo),
+                (
+                    *self.w1s3_nwc, self.w2,
+                    *self.w1is3_nwc, self.w2i,
+                    *self.mid_nwc_split3, *self.mid_inv_nwc_split3,
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
+        if self.split_left and hasattr(self, "w1s2_nwc"):
+            out = self._call(
+                self._nwc_kernel_split2,
+                (ga_hi, ga_lo, gb_hi, gb_lo),
+                (
+                    *self.w1s2_nwc, self.w2,
+                    *self.w1is2_nwc, self.w2i,
+                    *self.mid_nwc_split2, *self.mid_inv_nwc_split2,
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         if self.split_left and hasattr(self, "w1s_e_nwc"):
             out = self._call(
                 self._nwc_kernel_split,
