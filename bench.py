@@ -152,6 +152,16 @@ def main():
         bench_matvec("p60_4096", 4, 4, max(batch // 8, 32), iters)
         bench_kyber(batch * 8, iters)
 
+    name, kind, baseline = cases[args.metric]
+    rate = bench_case(name, batch, iters, kind)
+    print(json.dumps({
+        "metric": f"nwc_poly_mult_{name}_per_sec"
+        if kind == "nwc" else f"fwd_ntt_{name}_per_sec",
+        "value": round(rate, 1),
+        "unit": "op/s",
+        "vs_baseline": round(rate / baseline, 2),
+    }))
+
 
 def bench_kyber(batch, iters):
     """ML-KEM (FIPS-203) incomplete-NTT products — the workload the
@@ -171,16 +181,6 @@ def bench_kyber(batch, iters):
     log(f"  mlkem_3329 poly_mult [pallas-kyber]: batch={batch} "
         f"{dt * 1e3:.3f} ms/iter -> {batch / dt:,.0f} op/s")
     return batch / dt
-
-    name, kind, baseline = cases[args.metric]
-    rate = bench_case(name, batch, iters, kind)
-    print(json.dumps({
-        "metric": f"nwc_poly_mult_{name}_per_sec"
-        if kind == "nwc" else f"fwd_ntt_{name}_per_sec",
-        "value": round(rate, 1),
-        "unit": "op/s",
-        "vs_baseline": round(rate / baseline, 2),
-    }))
 
 
 if __name__ == "__main__":
