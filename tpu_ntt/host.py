@@ -41,11 +41,17 @@ def _to_raw(vals: np.ndarray, pairs: bool):
 
 
 def _from_raw(out) -> np.ndarray:
-    """Dispatch-backend output -> (B, n) python-int array (tuple = pairs)."""
+    """Dispatch-backend output -> (B, n) uint64 array (tuple = pairs).
+
+    uint64 is exact here: every dispatch backend returns residues < q and
+    q < 2^64 is enforced upstream, so the vectorized (hi << 32) | lo
+    recombination loses nothing.  (An earlier version converted to
+    object-dtype python ints element-by-element — measured >100x slower
+    at stream batch sizes and exactness-equivalent.)"""
     if isinstance(out, (tuple, list)):
         hi, lo = (np.asarray(x, dtype=np.uint64) for x in out)
-        return (hi.astype(object) << 32) + lo.astype(object)
-    return np.asarray(out).astype(object)
+        return (hi << np.uint64(32)) | lo
+    return np.asarray(out).astype(np.uint64)
 
 
 class Phase(enum.Enum):
