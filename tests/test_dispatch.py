@@ -344,8 +344,11 @@ def test_impl_selection_large_n_fourstep():
         "xla-fourstep"
     assert dispatch.impl_name(make_params(1 << 17, 786433)) == \
         "kernel-fourstep"
+    # 60-bit widths at n = 2^17: the nwc op is overridden by the depth-3
+    # split-radix FLAT kernel (+41% on chip, BENCH_NOTES.md round 3); the
+    # other ops keep the four-step backend.
     assert dispatch.impl_name(make_params(1 << 17, 576460752364240897)) == \
-        "kernel-fourstep-64"
+        "kernel-fourstep-64+flat-split3-nwc"
     from tpu_ntt.modmath import GOLDILOCKS_Q
 
     assert dispatch.impl_name(make_params(1 << 17, GOLDILOCKS_Q)) == \

@@ -11,9 +11,12 @@ import pytest
 
 from tpu_ntt import DILITHIUM_256, P24_1024, P24_4096, P60_4096, NttParams
 from tpu_ntt import reference
+from tpu_ntt.params import FALCON_512, FALCON_1024
 from tpu_ntt.kernels.mxu import MxuPlan
 
-PARAMS = [DILITHIUM_256, P24_1024, P24_4096]
+# FALCON presets exercise the 14-bit / 2-limb corner of the int8 path
+# (every other preset is 23-24-bit / 3-limb).
+PARAMS = [DILITHIUM_256, P24_1024, P24_4096, FALCON_512, FALCON_1024]
 
 
 def rand_batch(p, b, seed):

@@ -189,8 +189,18 @@ GOLDILOCKS_4096 = NttParams(
     name="goldilocks_4096"
 )
 
+#: Falcon / FN-DSA modulus q = 12289 = 3*2^12 + 1, the third NIST PQC
+#: signature family, at both deployed degrees (FIPS-206 draft; Falcon-512
+#: and Falcon-1024).  BEYOND the reference's shipped sets: its smallest
+#: modulus is the 24-bit Dilithium prime (test/Makefile:268-283), but the
+#: same generic datapath applies — and here the 14-bit width makes
+#: operands 2-limb on the int8 MXU kernel, the framework's cheapest case.
+#: 2-adicity of q-1 is 12, so the full-size psi exists for n <= 2048.
+FALCON_512 = NttParams(n=512, q=12289, psi=10302, name="falcon_512")
+FALCON_1024 = NttParams(n=1024, q=12289, psi=1945, name="falcon_1024")
+
 PRESETS = {p.name: p for p in (DILITHIUM_256, P24_1024, P24_4096, P60_4096,
-                               GOLDILOCKS_4096)}
+                               GOLDILOCKS_4096, FALCON_512, FALCON_1024)}
 
 
 @functools.lru_cache(maxsize=None)
