@@ -139,7 +139,8 @@ def main():
         for key, (name, kind, _) in cases.items():
             if key != args.metric:
                 bench_case(name, batch, iters, kind)
-        for name in ("dilithium_256", "p24_1024"):
+        for name in ("dilithium_256", "p24_1024", "falcon_512",
+                     "falcon_1024"):
             bench_case(name, batch * 4, iters, "nwc")
         bench_case("p60_32768", max(batch // 8, 32), iters, "nwc")
         # width-64 Goldilocks: beyond the reference's WIDTH=60 ceiling
