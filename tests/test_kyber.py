@@ -231,3 +231,21 @@ def test_routed_api_vs_golden(rng):
     )
     back = np.asarray(kyber.intt(batch([reference.kyber_ntt(a)])))[0]
     assert list(map(int, back)) == a
+
+
+def test_routed_api_composes_under_user_jit(rng):
+    """The module-level API must be safe to wrap in a USER jit — including
+    when that traced call is the FIRST backend touch (regression: _u32's
+    unconditional np.asarray broke on tracers, and a first-touch-under-
+    trace staged KyberPlan's constant tables as leaked tracers, poisoning
+    the lru_cached backend for every later host call)."""
+    import jax
+
+    kyber._backend.cache_clear()
+    a, b = rand_poly(rng), rand_poly(rng)
+    fn = jax.jit(lambda x, y: kyber.poly_mult(x, y))
+    got = np.asarray(fn(batch([a]), batch([b])))[0]
+    assert list(map(int, got)) == reference.schoolbook_negacyclic(a, b, Q)
+    # host-container path still healthy after the traced first touch
+    got2 = np.asarray(kyber.poly_mult([a], [b]))[0]
+    assert list(map(int, got2)) == reference.schoolbook_negacyclic(a, b, Q)

@@ -130,7 +130,13 @@ def poly_mult_xla(a, b):
 def _backend():
     from .kernels.kyber import KyberPlan
 
-    kp = KyberPlan()
+    # The plan's constant tables are jnp arrays built once and cached.  If
+    # the FIRST kyber call happens inside a user jit trace, plain jnp ops
+    # would stage those constants as tracers and poison the cache for every
+    # later call (UnexpectedTracerError); ensure_compile_time_eval keeps
+    # construction eager regardless of the caller's trace context.
+    with jax.ensure_compile_time_eval():
+        kp = KyberPlan()
     interp = jax.devices()[0].platform != "tpu"
     ops = {
         "ntt": jax.jit(lambda x: kp.ntt(x, interp)),
@@ -155,7 +161,15 @@ def _op(name):
 
 
 def _u32(x):
-    return jnp.asarray(np.asarray(x), dtype=jnp.uint32)
+    """Accept host lists / object-dtype numpy (python ints) AND jax arrays
+    or tracers: the numpy round-trip is only for host containers — calling
+    np.asarray on a tracer would break users who wrap these entry points
+    in their own jit (e.g. to fuse a pipeline or loop on device)."""
+    if isinstance(x, (list, tuple)) or (
+        isinstance(x, np.ndarray) and x.dtype == object
+    ):
+        x = np.asarray(x, dtype=np.uint64).astype(np.uint32)
+    return jnp.asarray(x, dtype=jnp.uint32)
 
 
 def ntt(x):
