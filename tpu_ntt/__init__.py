@@ -45,6 +45,7 @@ from .sharded import (  # noqa: F401
 )
 from . import dispatch  # noqa: F401
 from . import kyber  # noqa: F401  (ML-KEM / FIPS-203 incomplete NTT surface)
+from . import mldsa  # noqa: F401  (ML-DSA / FIPS-204 surface)
 from . import tables  # noqa: F401  (twiddle tables, hex IO, device_psi_powers)
 
 __version__ = "0.1.0"

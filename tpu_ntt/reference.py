@@ -191,6 +191,81 @@ def kyber_poly_mult(a: Sequence[int], b: Sequence[int]) -> List[int]:
     return kyber_intt(kyber_basemul(kyber_ntt(a), kyber_ntt(b)))
 
 
+# ---------------------------------------------------------------------------
+# ML-DSA (Dilithium) complete NTT — FIPS-204 §7.5 golden model
+# ---------------------------------------------------------------------------
+#
+# q = 8380417 IS the reference's shipped 24-bit modulus (Dilithium's prime;
+# rtl/ntt_poly_mult_openroad.sv:22-24, new_reference/test_cg_ntt.py:7), but
+# the deployed FIPS-204 standard fixes a specific root (zeta = 1753, a
+# primitive 512th root of unity) and a specific in-place network whose
+# output order is the ML-DSA serialization order.  These are fresh
+# implementations of FIPS-204 Algorithms 41 (NTT), 42 (NTT^-1) and the
+# coefficient-wise MultiplyNTT (complete transform, so the base case is a
+# plain pointwise product — unlike ML-KEM's 2x2 slots above), used as the
+# bit-exactness oracle for the TPU paths in mldsa.py.
+
+MLDSA_Q = 8380417
+MLDSA_N = 256
+MLDSA_ZETA = 1753  # primitive 512th root of unity mod 8380417 (FIPS-204)
+
+
+def _br8(i: int) -> int:
+    return bit_reverse(i, 8)
+
+
+def mldsa_ntt(w: Sequence[int]) -> List[int]:
+    """FIPS-204 Algorithm 41: 8-layer CT network, natural coefficients in,
+    the ML-DSA NTT representation out (the order FIPS-204 serializes)."""
+    q = MLDSA_Q
+    a = [v % q for v in w]
+    assert len(a) == MLDSA_N
+    k = 0
+    length = 128
+    while length >= 1:
+        for start in range(0, MLDSA_N, 2 * length):
+            k += 1
+            zeta = pow(MLDSA_ZETA, _br8(k), q)
+            for j in range(start, start + length):
+                t = zeta * a[j + length] % q
+                a[j + length] = (a[j] - t) % q
+                a[j] = (a[j] + t) % q
+        length //= 2
+    return a
+
+
+def mldsa_intt(wh: Sequence[int]) -> List[int]:
+    """FIPS-204 Algorithm 42: GS network + final 256^-1 = 8347681 scale."""
+    q = MLDSA_Q
+    a = [v % q for v in wh]
+    assert len(a) == MLDSA_N
+    k = MLDSA_N
+    length = 1
+    while length < MLDSA_N:
+        for start in range(0, MLDSA_N, 2 * length):
+            k -= 1
+            zeta = (q - pow(MLDSA_ZETA, _br8(k), q)) % q  # -zeta^brv(k)
+            for j in range(start, start + length):
+                t = a[j]
+                a[j] = (t + a[j + length]) % q
+                a[j + length] = zeta * (t - a[j + length]) % q
+        length *= 2
+    f = pow(MLDSA_N, q - 2, q)  # 8347681
+    return [v * f % q for v in a]
+
+
+def mldsa_multiply(ah: Sequence[int], bh: Sequence[int]) -> List[int]:
+    """FIPS-204 MultiplyNTT: coefficient-wise product in the NTT domain
+    (the transform is complete, so there is no 2x2 base case)."""
+    return [x * y % MLDSA_Q for x, y in zip(ah, bh)]
+
+
+def mldsa_poly_mult(a: Sequence[int], b: Sequence[int]) -> List[int]:
+    """Negacyclic product in R_q = Z_q[x]/(x^256 + 1) via the FIPS-204
+    transform — must equal schoolbook_negacyclic(a, b, MLDSA_Q)."""
+    return mldsa_intt(mldsa_multiply(mldsa_ntt(a), mldsa_ntt(b)))
+
+
 def schoolbook_cyclic(a: Sequence[int], b: Sequence[int], q: int) -> List[int]:
     """O(n^2) cyclic convolution: x^n = 1."""
     n = len(a)
