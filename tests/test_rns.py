@@ -194,3 +194,158 @@ def test_rns_ring_device_reconstruction(rng=random.Random(42)):
 def test_rns_ring_rejects_duplicate_moduli():
     with pytest.raises(ValueError, match="distinct"):
         rns.RnsRing(256, moduli=[16770049, 16770049])
+
+
+# ---------------------------------------------------------------------------
+# FHE modulus-chain ops: rescale, automorphism, base extension, gadget dot
+# ---------------------------------------------------------------------------
+
+
+def test_rns_ring_rescale_is_exact_floor_division(rng=random.Random(43)):
+    """rescale = exact floor(c / p_last) in the sub-basis (the CKKS
+    rescaling / BGV modulus-switching core), incl. divisibility edges."""
+    n = 256
+    ring = rns.RnsRing(n, channels=4)
+    q, pk = ring.q, ring.moduli[-1]
+    sub = ring.drop_last()
+    assert sub.moduli == ring.moduli[:-1]
+    rows = [
+        [rng.randrange(q) for _ in range(n)],
+        [0] * n,
+        [q - 1] * n,
+        [pk] + [pk - 1] * (n - 1),      # exactly divisible / one less
+        [k * pk for k in range(n)],     # all exactly divisible
+    ]
+    res = ring.encode(rows)
+    got = sub.decode(ring.rescale(res))
+    for gi, row in zip(got, rows):
+        assert [int(v) for v in gi] == [c // pk for c in row]
+
+
+def test_rns_ring_rescale_after_product(rng=random.Random(44)):
+    """The CKKS usage: multiply then rescale, all in RNS form."""
+    n = 256
+    ring = rns.RnsRing(n, channels=4)
+    q, pk = ring.q, ring.moduli[-1]
+    a = [rng.randrange(q) for _ in range(n)]
+    b = [rng.randrange(q) for _ in range(n)]
+    rc = ring.nwc_mult(ring.encode([a]), ring.encode([b]))
+    got = ring.drop_last().decode(ring.rescale(rc))[0]
+    want = [c // pk for c in schoolbook_nwc(a, b, q)]
+    assert [int(v) for v in got] == want
+
+
+def test_automorphism_tables_bijection_and_inverse():
+    n = 64
+    for g in (3, 5, 2 * n - 1, 7):
+        src, neg = rns.automorphism_tables(n, g)
+        assert sorted(src.tolist()) == list(range(n))
+    with pytest.raises(ValueError, match="odd"):
+        rns.automorphism_tables(n, 4)
+
+
+def test_rns_ring_automorphism_vs_bigint_oracle(rng=random.Random(45)):
+    """x -> x^g on coefficients vs direct big-int substitution mod
+    (x^n + 1, q), including g = 2n-1 (conjugation) and composition
+    sigma_g . sigma_ginv = id."""
+    n = 64
+    ring = rns.RnsRing(n, channels=3)
+    q = ring.q
+    a = [rng.randrange(q) for _ in range(n)]
+    ra = ring.encode([a])
+    for g in (3, 5, 2 * n - 1):
+        got = ring.decode(ring.automorphism(ra, g))[0]
+        want = [0] * n
+        for j in range(n):
+            t = (j * g) % (2 * n)
+            if t < n:
+                want[t] = (want[t] + a[j]) % q
+            else:
+                want[t - n] = (want[t - n] - a[j]) % q
+        assert [int(v) for v in got] == want
+        # inverse automorphism restores the input
+        ginv = pow(g, -1, 2 * n)
+        back = ring.decode(ring.automorphism(ring.automorphism(ra, g),
+                                             ginv))[0]
+        assert [int(v) for v in back] == a
+
+
+def test_rns_ring_base_extend_exact(rng=random.Random(46)):
+    """Exact base extension: the SAME canonical integer re-expressed in a
+    disjoint basis — no +kq approximate-CRT error (boundary rows incl.)."""
+    n = 256
+    ring = rns.RnsRing(n, channels=4)
+    q = ring.q
+    # disjoint target basis: next primes below the source basis
+    tgt_moduli = rns.ntt_friendly_primes(n, 24, 3, below=min(ring.moduli))
+    target = rns.RnsRing(n, moduli=tgt_moduli)
+    rows = [
+        [rng.randrange(q) for _ in range(n)],
+        [0] * n,
+        [q - 1] * n,
+    ]
+    res = ring.encode(rows)
+    ext = ring.base_extend(res, target)
+    for i, p in enumerate(target.moduli):
+        got = np.asarray(ext[i])
+        for r, row in zip(got, rows):
+            assert [int(v) for v in r] == [c % p for c in row]
+
+
+def test_rns_ring_gadget_dot_vs_bigint_oracle(rng=random.Random(47)):
+    """Key-switch core: sum_j [c]_{p_j} * ksk_j over R_q, digits decomposed
+    per-channel (the RNS gadget), computed as fused dots — vs the big-int
+    oracle, full and cached-key variants."""
+    n = 256
+    B = 2
+    ring = rns.RnsRing(n, channels=3)
+    q = ring.q
+    cs = [[rng.randrange(q) for _ in range(n)] for _ in range(B)]
+    ksk = [[[rng.randrange(p) for _ in range(n)] for p in ring.moduli]
+           for _ in range(len(ring.moduli))]
+    rc = ring.encode(cs)
+
+    want = []
+    for b in range(B):
+        acc = [0] * n
+        for j, pj in enumerate(ring.moduli):
+            digit = [c % pj for c in cs[b]]
+            kj = [0] * n  # ksk_j lifted to Z_q via CRT of its channels
+            kj_ring = rns.RnsRing(n, moduli=ring.moduli)
+            kj = [int(v) for v in
+                  kj_ring.decode([np.array([ksk[j][i]], dtype=np.uint32)
+                                  for i in range(len(ring.moduli))])[0]]
+            prod = schoolbook_nwc(digit, kj, q)
+            acc = [(x + y) % q for x, y in zip(acc, prod)]
+        want.append(acc)
+
+    got = ring.decode(ring.gadget_dot(rc, ksk))
+    for b in range(B):
+        assert [int(v) for v in got[b]] == want[b]
+
+    specs = ring.ksk_spectra(ksk, batch=B)
+    got2 = ring.decode(ring.gadget_dot_cached(rc, specs))
+    for b in range(B):
+        assert [int(v) for v in got2[b]] == want[b]
+
+
+def test_rns_ring_crt_exit_composes_under_user_jit(rng=random.Random(48)):
+    """reconstruct_words / base_extend must be safe to wrap in a USER jit
+    (regression: the unconditional np.asarray broke on tracers — the same
+    latent bug class as kyber._u32)."""
+    import jax
+
+    n = 64
+    ring = rns.RnsRing(n, channels=3)
+    q = ring.q
+    tgt = rns.RnsRing(n, moduli=rns.ntt_friendly_primes(
+        n, 24, 2, below=min(ring.moduli)))
+    rows = [[rng.randrange(q) for _ in range(n)]]
+    res = ring.encode(rows)
+    jw = jax.jit(lambda *r: ring.reconstruct_words(list(r)))(*res)
+    want = ring.decode(res)
+    assert (ring.decode_words(np.asarray(jw)) == want).all()
+    jext = jax.jit(lambda *r: tuple(ring.base_extend(list(r), tgt)))(*res)
+    for i, p in enumerate(tgt.moduli):
+        assert [int(v) for v in np.asarray(jext[i])[0]] == [
+            int(c) % p for c in want[0]]

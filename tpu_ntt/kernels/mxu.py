@@ -906,6 +906,18 @@ class MxuPlan:
                 return base_spec
             return tbl_spec
 
+        compiler_params = None
+        if gps * (k + l) > 96 and not interpret:
+            # The matvec kernel's per-step temporaries scale with
+            # gps * (k + l) rows; at (k, l) = (8, 7), gps = 8 they reach
+            # 17.21 MB and exceed Mosaic's default 16 MB scoped-VMEM
+            # budget (measured OOM at the ML-DSA-87 shape, B = 16384).
+            # Lift the cap for those large shapes only — every measured
+            # config at or below gps*(k+l) = 96 keeps the default limit
+            # and its recorded performance (same policy as mxu64._call).
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            )
         out = pl.pallas_call(
             self._make_matvec_kernel(k, l),
             grid=(g // gps,),
@@ -913,6 +925,7 @@ class MxuPlan:
             in_specs=[data_spec, a_spec] + [spec_for(t) for t in tables],
             out_specs=out_spec,
             interpret=interpret,
+            compiler_params=compiler_params,
         )(gs, A_blocks, *tables)
         out = out.transpose(1, 0, 2, 3).reshape(k, -1, self.p.n)
         return out[:, :bsz]

@@ -336,10 +336,18 @@ class RnsRing:
                 acc = new
             return jnp.stack(acc[: self.nwords], axis=-1)
 
-        import numpy as _np
+        def as_u32(r):
+            # numpy round-trip only for host containers (lists / object
+            # arrays) — np.asarray on a TRACER breaks users who wrap the
+            # CRT exit (or base_extend) in their own jit, the same latent
+            # bug class kyber._u32 fixed (kyber.py:163-172)
+            if isinstance(r, (list, tuple)) or (
+                isinstance(r, np.ndarray) and r.dtype == object
+            ):
+                r = np.asarray(r, dtype=np.uint64).astype(np.uint32)
+            return jnp.asarray(r, dtype=jnp.uint32)
 
-        return rec(*[jnp.asarray(_np.asarray(r), dtype=jnp.uint32)
-                     for r in residues])
+        return rec(*[as_u32(r) for r in residues])
 
     def decode_words(self, words) -> np.ndarray:
         """(…, nwords) uint32 little-endian -> host object ints."""
@@ -348,6 +356,198 @@ class RnsRing:
         for i in range(w.shape[-1]):
             out = out + (w[..., i].astype(object) << (32 * i))
         return out
+
+    # -- FHE modulus-chain ops (RNS-CKKS/BGV practice) ------------------------
+    #
+    # The reference stops at fixed-(n, q) products; an FHE runtime needs the
+    # modulus-chain operations AROUND those products.  All four below stay
+    # device-resident and exact (no host big-int, no approximate-CRT error
+    # term): rescale (CKKS rescaling / BGV modulus switching), Galois
+    # automorphisms (rotations), exact base extension, and the RNS-gadget
+    # key-switch inner product.  Same-width prime basis is assumed
+    # (max p < 2 * min p) so cross-channel re-reduction is one conditional
+    # subtract; __init__'s largest-primes-below-2^w default guarantees it.
+
+    def _check_same_width(self):
+        if max(self.moduli) >= 2 * min(self.moduli):
+            raise ValueError(
+                "cross-channel ops need a same-width basis "
+                f"(max p = {max(self.moduli)} >= 2 * min p)"
+            )
+
+    def drop_last(self) -> "RnsRing":
+        """The sub-ring with the last prime removed (rescale target)."""
+        if getattr(self, "_drop_last", None) is None:
+            self._drop_last = RnsRing(self.n, moduli=self.moduli[:-1])
+        return self._drop_last
+
+    def rescale(self, residues) -> list:
+        """Exact floor division by the last prime: residues of c (mod q)
+        -> residues of floor(c / p_k) (mod q / p_k), one channel fewer.
+
+        This IS the CKKS rescaling / BGV modulus-switching core: with
+        c' = (c - [c]_{p_k}) / p_k the subtraction makes c exactly
+        divisible, so c'_i = (c_i - c_k) * p_k^{-1} mod p_i — one
+        conditional subtract + one Barrett multiply per remaining channel,
+        no value ever leaves RNS form.  Decode parity:
+        drop_last().decode(rescale(x)) == floor(decode(x) / p_k)
+        (tests/test_rns.py)."""
+        import jax.numpy as jnp
+
+        from .modmath import barrett_mul32, sub_mod32
+
+        self._check_same_width()
+        pk = self.moduli[-1]
+        ck = jnp.asarray(residues[-1])
+        out = []
+        for p, r in zip(self.params[:-1], residues[:-1]):
+            ck_i = jnp.where(ck >= p.q, ck - np.uint32(p.q), ck)
+            d = sub_mod32(jnp.asarray(r), ck_i, p.q)
+            inv = pow(pk % p.q, -1, p.q)
+            out.append(barrett_mul32(d, jnp.full_like(d, inv), p.q,
+                                     p.barrett_k, p.barrett_mu))
+        return out
+
+    def automorphism(self, residues, g: int) -> list:
+        """Galois automorphism x -> x^g on Z_q[x]/(x^n + 1) coefficients
+        (the FHE rotation/conjugation map; g odd — every odd g is a unit
+        of Z_2n for power-of-two n).  Pure per-channel index permutation
+        with a sign: source j lands at (j*g mod 2n), negated when the
+        exponent wraps past n (x^n = -1).  Applies to the ring's
+        COEFFICIENT representation, so it composes with any backend."""
+        import jax.numpy as jnp
+
+        src, neg = automorphism_tables(self.n, g)
+        src_j = jnp.asarray(src)
+        neg_j = jnp.asarray(neg)
+        out = []
+        for p, r in zip(self.params, residues):
+            v = jnp.take(jnp.asarray(r), src_j, axis=-1)
+            out.append(jnp.where(neg_j & (v != 0), np.uint32(p.q) - v, v))
+        return out
+
+    def base_extend(self, residues, target: "RnsRing") -> list:
+        """EXACT base extension: residues of c mod q -> residues of the
+        SAME canonical c in [0, q) under ``target``'s basis.
+
+        Rides :meth:`reconstruct_words` (whose float k-estimate is made
+        exact by multiword correction), then folds the uint32 words into
+        each target prime with precomputed 2^(32i) mod p' constants — so
+        unlike the standard approximate CRT extension (BEHZ-style) there
+        is NO +kq error term to track downstream.  Cost is the O(k^2)
+        word products of the reconstruction; for the key-switch hot loop
+        prefer :meth:`gadget_dot`, which never leaves the source basis."""
+        import jax.numpy as jnp
+
+        from .modmath import add_mod32, barrett_mul32
+
+        words = self.reconstruct_words(residues)
+        out = []
+        for p in target.params:
+            acc = jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
+            for i in range(words.shape[-1]):
+                w = words[..., i]
+                # reduce the raw word once (w < 2^32 < p^2 range? no —
+                # fold via Barrett on (w mod p) * (2^(32i) mod p))
+                wm = w % np.uint32(p.q)
+                c = pow(2, 32 * i, p.q)
+                if c == 0:
+                    continue
+                term = barrett_mul32(wm, jnp.full_like(wm, c), p.q,
+                                     p.barrett_k, p.barrett_mu)
+                acc = add_mod32(acc, term, p.q)
+            out.append(acc)
+        return out
+
+    def gadget_dot(self, c, ksk, dispatch_dot=None) -> list:
+        """RNS-gadget key-switch inner product: sum_j d_j(c) * ksk_j where
+        d_j(c) = [c]_{p_j} is the j-th RNS digit — the decomposition used
+        by RNS-CKKS/BGV key switching (each digit is small, so the noise
+        growth stays bounded; the gadget basis IS the RNS basis).
+
+        c: residue list ((B, n) per channel); ksk: list over digits j of
+        residue lists (ksk[j][i] is digit j's key polynomial in channel i,
+        (n,) or (B, n)).  Returns the residue list of
+        sum_j d_j * ksk_j computed per channel as ONE fused spectrum-dot
+        (K = #channels forwards + one inverse per channel — the workload
+        nwc_dot was built for), digits re-reduced across channels with a
+        single conditional subtract (same-width basis)."""
+        import jax.numpy as jnp
+
+        self._check_same_width()
+        k = len(self.moduli)
+        if len(ksk) != k:
+            raise ValueError(f"ksk has {len(ksk)} digits, basis has {k}")
+        digits = [jnp.asarray(r) for r in c]
+        out = []
+        for i, p in enumerate(self.params):
+            # digit stack in channel i: d_j mod p_i (one cond. subtract)
+            dstack = jnp.stack([
+                jnp.where(d >= p.q, d - np.uint32(p.q), d) for d in digits
+            ])
+            kstack = jnp.stack([
+                jnp.broadcast_to(jnp.asarray(ksk[j][i]), dstack.shape[1:])
+                for j in range(k)
+            ])
+            dot = (dispatch_dot or dispatch.best_nwc_dot)(p)
+            out.append(dot(dstack, kstack))
+        return out
+
+    def ksk_spectra(self, ksk, batch: int) -> list:
+        """Precompute per-channel (K, B, n) CACHED spectra of a fixed
+        key-switching key for :meth:`gadget_dot_cached` (keys transform
+        once at key-setup, never again — the fixed-operand practice the
+        cached-dot kernels exist for)."""
+        import jax.numpy as jnp
+
+        k = len(self.moduli)
+        out = []
+        for i, p in enumerate(self.params):
+            spec = dispatch.best_nwc_spectrum(p)
+            stacks = []
+            for j in range(k):
+                kij = jnp.asarray(ksk[j][i])
+                kij = jnp.broadcast_to(kij, (batch, self.n))
+                stacks.append(spec(kij))
+            out.append(jnp.stack(stacks))
+        return out
+
+    def gadget_dot_cached(self, c, ksk_specs) -> list:
+        """:meth:`gadget_dot` against :meth:`ksk_spectra` output: K digit
+        forwards + ONE inverse per channel instead of 2K+1 transforms."""
+        import jax.numpy as jnp
+
+        self._check_same_width()
+        digits = [jnp.asarray(r) for r in c]
+        out = []
+        for i, p in enumerate(self.params):
+            dstack = jnp.stack([
+                jnp.where(d >= p.q, d - np.uint32(p.q), d) for d in digits
+            ])
+            out.append(dispatch.best_nwc_dot_cached(p)(dstack,
+                                                       ksk_specs[i]))
+        return out
+
+
+def automorphism_tables(n: int, g: int):
+    """(src, neg) for the x -> x^g map on x^n + 1: out[t] = ±in[src[t]].
+
+    src[t*g mod n adjusted] derivation: source index j contributes to
+    exponent j*g mod 2n; exponents >= n wrap with a sign (x^n = -1)."""
+    if g % 2 == 0:
+        raise ValueError(f"automorphism exponent must be odd, got {g}")
+    g %= 2 * n
+    src = np.zeros(n, dtype=np.int32)
+    neg = np.zeros(n, dtype=bool)
+    for j in range(n):
+        t = (j * g) % (2 * n)
+        if t < n:
+            src[t] = j
+            neg[t] = False
+        else:
+            src[t - n] = j
+            neg[t - n] = True
+    return src, neg
 
 
 @functools.lru_cache(maxsize=None)
