@@ -152,6 +152,8 @@ def main():
         bench_matvec("dilithium_256", 4, 4, batch * 4, iters)
         bench_matvec("p60_4096", 4, 4, max(batch // 8, 32), iters)
         bench_kyber(batch * 8, iters)
+        bench_mldsa(batch * 4, iters)
+        bench_rns_keyswitch(max(batch // 8, 32), iters)
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)
@@ -162,6 +164,51 @@ def main():
         "unit": "op/s",
         "vs_baseline": round(rate / baseline, 2),
     }))
+
+
+def bench_mldsa(batch, iters):
+    """ML-DSA (FIPS-204) A o NTT(y) at the -87 shape (8, 7) — the largest
+    deployed matrix product (tpu_ntt.mldsa; round-4 surface)."""
+    from tpu_ntt import mldsa
+    from tpu_ntt.kernels.mxu import MxuPlan
+
+    kp = MxuPlan(mldsa.PARAMS)
+    k, l = mldsa.MATRIX_SHAPES[87]
+    rng = np.random.default_rng(13)
+    A = rng.integers(0, mldsa.Q, size=(k, l, mldsa.N), dtype=np.uint64)
+    s = rng.integers(0, mldsa.Q, size=(l, batch, mldsa.N), dtype=np.uint64)
+    blocks = kp.nwc_matvec_spectra(jax.device_put(A.astype(np.uint32)))
+    sv = jax.device_put(s.astype(np.uint32))
+    # chain: next s = first l rows of the (k, B, n) output (k >= l)
+    fn = lambda x, blk: kp.nwc_matvec_cached(x, blk)[: l]
+    dt = device_seconds_per_iter(fn, sv, blocks, iters=iters)
+    log(f"  mldsa-87 matvec (8,7) [pallas-mxu]: batch={batch} "
+        f"{dt * 1e3:.3f} ms/iter -> {batch / dt:,.0f} matvecs/s "
+        f"({k * l * batch / dt:,.0f} eff products/s)")
+    return batch / dt
+
+
+def bench_rns_keyswitch(batch, iters):
+    """RNS gadget key-switch (keys cached): the FHE hot-loop composite
+    (round-4 surface; docs/DESIGN.md §2.8)."""
+    from tpu_ntt import rns
+
+    n = 4096
+    ring = rns.RnsRing(n, channels=6)
+    rng = np.random.default_rng(17)
+    host = rng.integers(0, 1 << 63, size=(batch, n), dtype=np.uint64)
+    res = tuple(jax.device_put((host % np.uint64(m)).astype(np.uint32))
+                for m in ring.moduli)
+    ksk = [[rng.integers(0, m, size=(n,)).astype(np.uint32)
+            for m in ring.moduli] for _ in range(len(ring.moduli))]
+    specs = [jax.block_until_ready(s)
+             for s in ring.ksk_spectra(ksk, batch=batch)]
+    fn = lambda state: tuple(ring.gadget_dot_cached(list(state), specs))
+    dt = device_seconds_per_iter(fn, res, iters=iters)
+    log(f"  rns keyswitch n={n} 144-bit 6-digit [fused dots]: "
+        f"batch={batch} {dt * 1e3:.3f} ms/iter -> "
+        f"{batch / dt:,.0f} switches/s")
+    return batch / dt
 
 
 def bench_kyber(batch, iters):

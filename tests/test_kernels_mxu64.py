@@ -329,6 +329,40 @@ def test_split3_left_bit_identical_n131072(rng):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_split4_left_bit_identical_n262144(rng):
+    """Depth-4 split-radix left transform (n1 = 2048, n = 2^18): four
+    DIF butterfly levels + sixteen 128-contraction leaves must be
+    bit-identical to the dense (2048, 2048) left matmul.  Existence
+    proof for the flat kernel at n = 2^18 (dense left is 16x over the
+    VMEM budget on hardware); leaf contractions stay 128 MACs/coef, so
+    the flat kernel's per-coefficient MXU cost is FLAT in n.  NOTE: the
+    heaviest test in the suite (~5 min: ~2.5 min host table build at
+    n1 = 2048 + interpret passes); q is the largest 60-bit prime with
+    2-adicity >= 19 (no trinomial of that 2-adicity is prime near
+    2^60, and sol64 is excluded by its fold-bound proof regardless)."""
+    from tpu_ntt.params import make_params
+
+    q = 1152921504577486849
+    p = make_params(1 << 18, q)
+
+    def enc(rows):
+        return (
+            np.array([[x >> 32 for x in v] for v in rows], dtype=np.uint32),
+            np.array([[x & 0xFFFFFFFF for x in v] for v in rows],
+                     dtype=np.uint32),
+        )
+
+    a = enc([[rng.randrange(q) for _ in range(p.n)]])
+    b = enc([[q - 1] * p.n])  # boundary operand
+    plan = MxuPlan64(p)
+    assert plan.split_left and hasattr(plan, "w1s4_nwc")
+    s = plan.nwc_poly_mult(a, b, interpret=True)
+    plan.split_left = False
+    d = plan.nwc_poly_mult(a, b, interpret=True)
+    for x, y in zip(d, s):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_split_left_silently_dense_when_unavailable(rng):
     """At n1 != 256 no split tables exist: the default split_left=True
     must fall back to the dense left matmul, with correct results."""

@@ -293,16 +293,17 @@ def _backend(p: NttParams):
         # four-step beats the flat XLA path 3.8-3.9x (BENCH_NOTES.md
         # round 2), so the four-step window opens one size earlier for
         # width > 30 — EXCEPT the nwc product for q < 2^62, where the
-        # depth-2 (n = 65536) / depth-3 (n = 2^17) split-radix left
-        # transform (mxu64.py) shrinks the left matrices 4x/8x and the
-        # flat fused kernel both compiles and beats the four-step:
-        # 24.3k vs 13.1k nwc/s at 65536 (w60 B=32), 9.2k vs 6.5k at 2^17
-        # (B=8, the depth-3 kernel also needs the lifted Mosaic VMEM cap
-        # — see _call); BENCH_NOTES.md round 3.  Only nwc_poly_mult has
-        # the split wiring, so every other op keeps the four-step
-        # backend.
+        # depth-2 (n = 65536) / depth-3 (n = 2^17) / depth-4 (n = 2^18)
+        # split-radix left transform (mxu64.py) shrinks the left
+        # matrices 4x/8x/16x and the flat fused kernel both compiles and
+        # beats the four-step: 24.3k vs 13.1k nwc/s at 65536 (w60 B=32),
+        # 9.2k vs 6.5k at 2^17 (B=8; depth-3/4 also need the lifted
+        # Mosaic VMEM cap — see _call), 4.3k vs 3.0k at 2^18 (B=32);
+        # BENCH_NOTES.md rounds 3-4.  Only nwc_poly_mult has the split
+        # wiring, so every other op keeps the four-step backend.
         name, ops, split = _fourstep_backend(p)
-        if (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N)
+        if (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N,
+                    4 * _FOURSTEP_MIN_N)
                 and 30 < p.width <= 62):
             from .kernels.mxu64 import MxuPlan64
             from .kernels.sol64 import SolinasPlan64
@@ -314,7 +315,7 @@ def _backend(p: NttParams):
             ops = dict(ops)
             ops["nwc"] = _wrap(
                 lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, mp.pairs)
-            depth = 2 if p.n == _FOURSTEP_MIN_N else 3
+            depth = {1: 2, 2: 3, 4: 4}[p.n // _FOURSTEP_MIN_N]
             name = name + f"+flat-split{depth}-nwc"
         return name, ops, split
 

@@ -129,11 +129,12 @@ class MxuPlan64:
 
     def __init__(self, p: NttParams):
         self._check_width(p)
-        n_cap = (8 if p.q < (1 << 62) else 4) * LANES * LANES
+        n_cap = (16 if p.q < (1 << 62) else 4) * LANES * LANES
         if p.n % LANES or not (2 * LANES <= p.n <= n_cap):
-            # 131072 needs the depth-3 split left transform, which needs
-            # the constant Shoup multiply (q < 2^62); the dense left
-            # matrices at n1 = 512/1024 blow scoped VMEM on hardware.
+            # 131072/262144 need the depth-3/4 split left transforms,
+            # which need the constant Shoup multiply (q < 2^62); the
+            # dense left matrices at n1 >= 512 blow scoped VMEM on
+            # hardware.
             raise ValueError(
                 f"n={p.n} must be in [256, {n_cap}] and divide 128")
         self.p = p
@@ -491,6 +492,86 @@ class MxuPlan64:
             )
             self.mid_inv_nwc_split3 = shoup_pair(
                 lambda k1, m2: pow(omega_inv, pi3(k1) * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
+
+        # --- Depth-4 split radix (n1 = 2048; n = 262144) -----------------
+        # Fourth application of the recursion (same invariants as depth
+        # 2/3: geometric column scales make every butterfly constant a
+        # compile-time Shoup scalar, per-row root factors commute into the
+        # leaf columns).  Leaf block br (bits e1 e2 e3 e4, level-major)
+        # holds outputs X1[16m + 8*e4 + 4*e3 + 2*e2 + e1] and its colbase
+        # is w1^bitrev4(br) * psi128.  Existence at n = 2^18: the dense
+        # left is 16x over the VMEM budget, and the four-step composition
+        # pays every matmul/VPU pass twice per coefficient — while the
+        # split-radix left keeps leaf contractions at 128 MACs/coef, the
+        # same as depth 2/3 (per-coefficient MXU cost is FLAT in n).
+        if n1 == 16 * LANES and q < (1 << 62):
+            w1_16 = pow(w1, 16, q)     # primitive 128th root
+            w1i_16 = pow(w1i, 16, q)
+
+            def scaled_dft128_4(root, colbase, rowbase, scale):
+                pows = _pow_table(root, q, LANES)
+                m = np.empty((LANES, LANES), dtype=object)
+                for i in range(LANES):
+                    rs = pow(rowbase, i, q)
+                    for j in range(LANES):
+                        m[i, j] = (pows[(i * j) % LANES] * pow(colbase, j, q)
+                                   % q * rs % q * scale % q)
+                return m
+
+            #: e1 + 2*e2 + 4*e3 + 8*e4 by level-major branch index = the
+            #: 4-bit bit-reversal of br (depth-3's _LEAF_EXP is bitrev3)
+            _LEAF_EXP4 = tuple(
+                int(f"{br:04b}"[::-1], 2) for br in range(16)
+            )
+            self.w1s4_nwc = tuple(
+                make_w(scaled_dft128_4(w1_16, pow(w1, e, q) * psi128 % q,
+                                       1, r96), left=True)
+                for e in _LEAF_EXP4
+            )
+            self.w1is4_nwc = tuple(
+                make_w(scaled_dft128_4(w1i_16, 1,
+                                       psi128_inv * pow(w1i, e, q) % q,
+                                       r32), left=True)
+                for e in _LEAF_EXP4
+            )
+            enc_c4 = lambda v: (v, (v << 64) // q)
+            self._split4_P1 = enc_c4(pow(psi128, 8 * LANES, q))
+            self._split4_P2e = enc_c4(pow(psi128, 4 * LANES, q))
+            self._split4_P2o = enc_c4(pow(w1 * psi128 % q, 4 * LANES, q))
+            # level-3 constants by branch (e1, e2), visit order e1-major
+            self._split4_P3 = tuple(
+                enc_c4(pow(pow(w1, e, q) * psi128 % q, 2 * LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            # level-4 constants by branch (e1, e2, e3): exps = bitrev3
+            self._split4_P4 = tuple(
+                enc_c4(pow(pow(w1, e, q) * psi128 % q, LANES, q))
+                for e in (0, 4, 2, 6, 1, 5, 3, 7)
+            )
+            self._split4_Pi1 = enc_c4(pow(psi128_inv, 8 * LANES, q))
+            self._split4_Pi2 = tuple(
+                enc_c4(pow(psi128_inv * pow(w1i, e, q) % q, 4 * LANES, q))
+                for e in (0, 1)
+            )
+            self._split4_Pi3 = tuple(
+                enc_c4(pow(psi128_inv * pow(w1i, e, q) % q, 2 * LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            self._split4_Pi4 = tuple(
+                enc_c4(pow(psi128_inv * pow(w1i, e, q) % q, LANES, q))
+                for e in (0, 4, 2, 6, 1, 5, 3, 7)
+            )
+            pi4 = lambda r: (16 * (r % LANES) + 8 * ((r >> 7) & 1)
+                             + 4 * ((r >> 8) & 1) + 2 * ((r >> 9) & 1)
+                             + ((r >> 10) & 1))
+            self.mid_nwc_split4 = shoup_pair(
+                lambda k1, m2: pow(omega, pi4(k1) * m2, q)
+                * pow(psi, m2, q) % q
+            )
+            self.mid_inv_nwc_split4 = shoup_pair(
+                lambda k1, m2: pow(omega_inv, pi4(k1) * m2, q)
                 * pow(psi_inv, m2, q) % q * p.n_inv % q
             )
 
@@ -944,6 +1025,71 @@ class MxuPlan64:
               merge(m3[2], m3[3], self._split3_Pi2[1])]
         return merge(m2[0], m2[1], self._split3_Pi1)
 
+    def _left_fwd_split4(self, x, ws):
+        """Depth-4 split-radix forward left transform of a (2048, 128)
+        pair block: four DIF butterfly levels feeding SIXTEEN
+        128-contraction leaf matmuls; output row r holds X1[pi4(r)]."""
+        hi, lo = x
+        h = 8 * LANES
+        t1 = self._shoup_const((hi[h:], lo[h:]), self._split4_P1)
+        xt = (hi[:h], lo[:h])
+        u = add_mod64(xt, t1, self.q)
+        v = sub_mod64(xt, t1, self.q)
+
+        def bfly(y, P, h2):
+            yh, yl = y
+            t = self._shoup_const((yh[h2:], yl[h2:]), P)
+            yt = (yh[:h2], yl[:h2])
+            return (add_mod64(yt, t, self.q), sub_mod64(yt, t, self.q))
+
+        outs = []
+        i3 = i4 = wi = 0
+        for blk, P2 in ((u, self._split4_P2e), (v, self._split4_P2o)):
+            for sub in bfly(blk, P2, 4 * LANES):
+                l3 = bfly(sub, self._split4_P3[i3], 2 * LANES)
+                i3 += 1
+                for sub2 in l3:
+                    l4 = bfly(sub2, self._split4_P4[i4], LANES)
+                    i4 += 1
+                    for leafblk in l4:
+                        outs.append(self._matmul_mont(
+                            leafblk, ws[wi], left=True, final=False))
+                        wi += 1
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    def _left_inv_split4(self, c, ws):
+        """Depth-4 mirror for the inverse left transform: sixteen
+        row-scaled 128-DFT leaves on the pi4-ordered spectrum sixteenths,
+        then four merge levels; output rows are natural coefficient
+        order."""
+        def halves(pair):
+            h2 = pair[0].shape[0] // 2
+            return ((pair[0][:h2], pair[1][:h2]),
+                    (pair[0][h2:], pair[1][h2:]))
+
+        blocks = []
+        for a in halves(c):
+            for b2 in halves(a):
+                for s in halves(b2):
+                    blocks.extend(halves(s))
+        leaf = [self._matmul_mont(b, w, left=True)
+                for b, w in zip(blocks, ws)]
+
+        def merge(A, B, Pi):
+            top = add_mod64(A, B, self.q)
+            bot = self._shoup_const(sub_mod64(A, B, self.q), Pi)
+            return (jnp.concatenate([top[0], bot[0]], axis=0),
+                    jnp.concatenate([top[1], bot[1]], axis=0))
+
+        m4 = [merge(leaf[2 * i], leaf[2 * i + 1], self._split4_Pi4[i])
+              for i in range(8)]
+        m3 = [merge(m4[2 * i], m4[2 * i + 1], self._split4_Pi3[i])
+              for i in range(4)]
+        m2 = [merge(m3[0], m3[1], self._split4_Pi2[0]),
+              merge(m3[2], m3[3], self._split4_Pi2[1])]
+        return merge(m2[0], m2[1], self._split4_Pi1)
+
     def _nwc_kernel_split3(
         self, a_hi, a_lo, b_hi, b_lo,
         w0, w1f, w2f, w3f, w4f, w5f, w6f, w7f, w2,
@@ -972,6 +1118,36 @@ class MxuPlan64:
             c = self._matmul_mont(c, w2i, left=False, final=False)
             c = self._shoup(c, midi_w, midi_ws)
             r_hi, r_lo = self._left_inv_split3(c, wi)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
+    def _nwc_kernel_split4(self, a_hi, a_lo, b_hi, b_lo, *refs):
+        """The fused NWC pipeline with depth-4 split-radix left
+        transforms (n1 = 2048; mids pi4-permuted).  refs layout:
+        16 fwd leaves, w2, 16 inv leaves, w2i, 4 mid words, 4 inv-mid
+        words, out_hi, out_lo."""
+        wf = refs[0:16]
+        w2 = refs[16]
+        wi = refs[17:33]
+        w2i = refs[33]
+        mid_w = (refs[34][...], refs[35][...])
+        mid_ws = (refs[36][...], refs[37][...])
+        midi_w = (refs[38][...], refs[39][...])
+        midi_ws = (refs[40][...], refs[41][...])
+        out_hi, out_lo = refs[42], refs[43]
+
+        def fwd(x):
+            x = self._left_fwd_split4(x, wf)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._left_inv_split4(c, wi)
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
@@ -1428,6 +1604,18 @@ class MxuPlan64:
         (B, n), natural order, coefficients in [0, q)."""
         ga_hi, ga_lo, bsz = self._group_batch(*a)
         gb_hi, gb_lo, _ = self._group_batch(*b)
+        if self.split_left and hasattr(self, "w1s4_nwc"):
+            out = self._call(
+                self._nwc_kernel_split4,
+                (ga_hi, ga_lo, gb_hi, gb_lo),
+                (
+                    *self.w1s4_nwc, self.w2,
+                    *self.w1is4_nwc, self.w2i,
+                    *self.mid_nwc_split4, *self.mid_inv_nwc_split4,
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         if self.split_left and hasattr(self, "w1s3_nwc"):
             out = self._call(
                 self._nwc_kernel_split3,
