@@ -363,6 +363,44 @@ def test_split4_left_bit_identical_n262144(rng):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_split5_left_bit_identical_n524288(rng):
+    """Depth-5 split-radix left transform (n1 = 4096, n = 2^19): five
+    DIF butterfly levels + thirty-two 128-contraction leaves.  Oracle is
+    the XLA four-step locals (an INDEPENDENT formulation) rather than
+    the dense left matmul — at n1 = 4096 the dense tables are an ~8 min
+    lazy build serving no compilable kernel, while the four-step locals
+    are O(n)-table and already golden-tested at every smaller size.
+    Also locks the lazy-dense contract: the constructor must NOT build
+    dense tables at split-only sizes (production dispatch path)."""
+    from tpu_ntt import sharded
+    from tpu_ntt.params import make_params
+
+    q = 576460752364240897  # 59-bit, 2-adicity 21
+    n = 1 << 19
+    p = make_params(n, q)
+    plan = MxuPlan64(p)
+    assert plan.split_left and hasattr(plan, "w1s5_nwc")
+    assert "_dense_build" in plan.__dict__, "dense must be lazy here"
+
+    def enc(rows):
+        return (
+            np.array([[x >> 32 for x in v] for v in rows], dtype=np.uint32),
+            np.array([[x & 0xFFFFFFFF for x in v] for v in rows],
+                     dtype=np.uint32),
+        )
+
+    a = enc([[rng.randrange(q) for _ in range(n)]])
+    b = enc([[q - 1] * n])  # boundary operand
+    s = plan.nwc_poly_mult(a, b, interpret=True)
+    assert "_dense_build" in plan.__dict__, "nwc split path touched dense"
+    n1, n2 = sharded.default_split(n)
+    fsx = sharded.FourStepPlan(p, n1, n2)
+    mat = lambda x: tuple(v.reshape(v.shape[:-1] + (n1, n2)) for v in x)
+    w = sharded.fourstep_nwc_poly_mult_local(fsx, mat(a), mat(b))
+    for x, y in zip(w, s):
+        assert np.array_equal(np.asarray(x).reshape(-1, n), np.asarray(y))
+
+
 def test_split_left_silently_dense_when_unavailable(rng):
     """At n1 != 256 no split tables exist: the default split_left=True
     must fall back to the dense left matmul, with correct results."""

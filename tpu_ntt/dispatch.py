@@ -298,12 +298,13 @@ def _backend(p: NttParams):
         # matrices 4x/8x/16x and the flat fused kernel both compiles and
         # beats the four-step: 24.3k vs 13.1k nwc/s at 65536 (w60 B=32),
         # 9.2k vs 6.5k at 2^17 (B=8; depth-3/4 also need the lifted
-        # Mosaic VMEM cap — see _call), 4.3k vs 3.0k at 2^18 (B=32);
+        # Mosaic VMEM cap — see _call), 4.3k vs 3.0k at 2^18 (B=32),
+        # 2.0k vs 1.6k at 2^19 (depth-5, 112 MiB cap);
         # BENCH_NOTES.md rounds 3-4.  Only nwc_poly_mult has the split
         # wiring, so every other op keeps the four-step backend.
         name, ops, split = _fourstep_backend(p)
         if (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N,
-                    4 * _FOURSTEP_MIN_N)
+                    4 * _FOURSTEP_MIN_N, 8 * _FOURSTEP_MIN_N)
                 and 30 < p.width <= 62):
             from .kernels.mxu64 import MxuPlan64
             from .kernels.sol64 import SolinasPlan64
@@ -315,7 +316,7 @@ def _backend(p: NttParams):
             ops = dict(ops)
             ops["nwc"] = _wrap(
                 lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, mp.pairs)
-            depth = {1: 2, 2: 3, 4: 4}[p.n // _FOURSTEP_MIN_N]
+            depth = {1: 2, 2: 3, 4: 4, 8: 5}[p.n // _FOURSTEP_MIN_N]
             name = name + f"+flat-split{depth}-nwc"
         return name, ops, split
 

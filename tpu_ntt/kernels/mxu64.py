@@ -127,11 +127,28 @@ class MxuPlan64:
         """Whether intermediates may stay unnormalized (see ``lazy``)."""
         return q < (1 << 61) - (1 << 40)
 
+    #: table attributes whose construction is deferred at split-only
+    #: sizes (n1 >= 2048): the dense kernels cannot compile there, so
+    #: production (nwc via the split kernels) never pays their ~2 min of
+    #: host big-int builds; the interpret-mode ablation tests build them
+    #: on first touch.
+    _DENSE_LAZY = frozenset({
+        "w1", "w1i", "w1_nwc", "w1i_nwc", "w1i_nwc_plain", "w1i_exit",
+        "mid_nwc", "mid_inv_nwc", "mid_shoup", "mid_inv_fold",
+    })
+
+    def __getattr__(self, name):
+        if name in self._DENSE_LAZY and "_dense_build" in self.__dict__:
+            self.__dict__.pop("_dense_build")()  # builds once, sets attrs
+            return getattr(self, name)
+        raise AttributeError(
+            f"{type(self).__name__!s} object has no attribute {name!r}")
+
     def __init__(self, p: NttParams):
         self._check_width(p)
-        n_cap = (16 if p.q < (1 << 62) else 4) * LANES * LANES
+        n_cap = (32 if p.q < (1 << 62) else 4) * LANES * LANES
         if p.n % LANES or not (2 * LANES <= p.n <= n_cap):
-            # 131072/262144 need the depth-3/4 split left transforms,
+            # n >= 131072 needs the depth-3/4/5 split left transforms,
             # which need the constant Shoup multiply (q < 2^62); the
             # dense left matrices at n1 >= 512 blow scoped VMEM on
             # hardware.
@@ -218,9 +235,7 @@ class MxuPlan64:
             )
             return jnp.asarray(limbs)
 
-        self.w1 = make_w(block_diag(dft_matrix(n1, w1, r96)), left=True)
         self.w2 = make_w(dft_matrix(n2, w2, r160), left=False)
-        self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r96)), left=True)
         self.w2i = make_w(dft_matrix(n2, w2i, r96), left=False)
         # plain-domain right matrix for the standalone forward transform
         # (REDC96 of w*2^96 times a plain value stays plain)
@@ -248,26 +263,6 @@ class MxuPlan64:
 
         psi128 = pow(p.psi, n2, q)  # psi^128
         psi128_inv = pow(psi128, q - 2, q)
-        self.w1_nwc = make_w(
-            block_diag(col_scaled(dft_matrix(n1, w1, r96),
-                                  lambda c: pow(psi128, c, q))),
-            left=True,
-        )
-        self.w1i_nwc = make_w(
-            block_diag(row_scaled(dft_matrix(n1, w1i, r32),
-                                  lambda rr: pow(psi128_inv, rr, q))),
-            left=True,
-        )
-        # Domain-neutral (r96) variant of the untwist-folded inverse left
-        # matrix: the STANDALONE NWC inverse consumes nwc_ntt_fwd's PLAIN
-        # spectrum, so its exit matmul must not strip a Montgomery factor
-        # (w1i_nwc's r32 scale exists to exit the fused pipeline's
-        # Montgomery-64 domain).
-        self.w1i_nwc_plain = make_w(
-            block_diag(row_scaled(dft_matrix(n1, w1i, r96),
-                                  lambda rr: pow(psi128_inv, rr, q))),
-            left=True,
-        )
 
         def tiled_pair(fn):
             """(hi, lo) uint32 pair tables, tiled over the t polynomials."""
@@ -291,29 +286,68 @@ class MxuPlan64:
             ws = tiled_pair(lambda i1, i2: (fn(i1, i2) << 64) // q)
             return (*w, *ws)
 
-        self.mid_nwc = shoup_pair(
-            lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q) % q
-        )
-        self.mid_inv_nwc = shoup_pair(
-            lambda k1, m2: pow(omega_inv, k1 * m2, q)
-            * pow(psi_inv, m2, q) % q * p.n_inv % q
-        )
-        # Cyclic / standalone mids, Shoup-encoded (a Shoup product is a
-        # PLAIN constant multiply, so it preserves the value's domain and
-        # needs one widening multiply vs Montgomery's three).  n^-1 folds
-        # into the inverse mid (the reference's SCALE phase,
-        # rtl/ntt_inverse.v semantics, costs zero extra passes here), so
-        # the standalone-inverse and cyclic exits drop their whole
-        # elementwise exit multiply.
-        self.mid_shoup = shoup_pair(lambda k1, m2: pow(omega, k1 * m2, q))
-        self.mid_inv_fold = shoup_pair(
-            lambda k1, m2: pow(omega_inv, k1 * m2, q) * p.n_inv % q
-        )
-        # cyclic exit: the inverse left matrix at 2^32 scale strips the
-        # Montgomery-64 factor in its REDC96 (2^32/2^96 = 2^-64) — the
-        # domain exit rides the matmul for free.
-        self.w1i_exit = make_w(block_diag(dft_matrix(n1, w1i, r32)),
-                               left=True)
+        def build_dense():
+            """Dense left matrices + dense mid tables — everything the
+            NON-split code paths need.  Eager at every size the dense
+            kernels can actually compile (n1 <= 1024); DEFERRED at the
+            split-only production sizes (n1 >= 2048, where the dense left
+            is 16x+ over the hardware VMEM budget and only the interpret
+            -mode ablation tests ever touch these ~2 min of host big-int
+            table builds)."""
+            self.w1 = make_w(block_diag(dft_matrix(n1, w1, r96)),
+                             left=True)
+            self.w1i = make_w(block_diag(dft_matrix(n1, w1i, r96)),
+                              left=True)
+            self.w1_nwc = make_w(
+                block_diag(col_scaled(dft_matrix(n1, w1, r96),
+                                      lambda c: pow(psi128, c, q))),
+                left=True,
+            )
+            self.w1i_nwc = make_w(
+                block_diag(row_scaled(dft_matrix(n1, w1i, r32),
+                                      lambda rr: pow(psi128_inv, rr, q))),
+                left=True,
+            )
+            # Domain-neutral (r96) variant of the untwist-folded inverse
+            # left matrix: the STANDALONE NWC inverse consumes
+            # nwc_ntt_fwd's PLAIN spectrum, so its exit matmul must not
+            # strip a Montgomery factor (w1i_nwc's r32 scale exists to
+            # exit the fused pipeline's Montgomery-64 domain).
+            self.w1i_nwc_plain = make_w(
+                block_diag(row_scaled(dft_matrix(n1, w1i, r96),
+                                      lambda rr: pow(psi128_inv, rr, q))),
+                left=True,
+            )
+            self.mid_nwc = shoup_pair(
+                lambda k1, m2: pow(omega, k1 * m2, q) * pow(psi, m2, q)
+                % q
+            )
+            self.mid_inv_nwc = shoup_pair(
+                lambda k1, m2: pow(omega_inv, k1 * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
+            # Cyclic / standalone mids, Shoup-encoded (a Shoup product is
+            # a PLAIN constant multiply, so it preserves the value's
+            # domain and needs one widening multiply vs Montgomery's
+            # three).  n^-1 folds into the inverse mid (the reference's
+            # SCALE phase, rtl/ntt_inverse.v semantics, costs zero extra
+            # passes here), so the standalone-inverse and cyclic exits
+            # drop their whole elementwise exit multiply.
+            self.mid_shoup = shoup_pair(
+                lambda k1, m2: pow(omega, k1 * m2, q))
+            self.mid_inv_fold = shoup_pair(
+                lambda k1, m2: pow(omega_inv, k1 * m2, q) * p.n_inv % q
+            )
+            # cyclic exit: the inverse left matrix at 2^32 scale strips
+            # the Montgomery-64 factor in its REDC96 (2^32/2^96 = 2^-64)
+            # — the domain exit rides the matmul for free.
+            self.w1i_exit = make_w(block_diag(dft_matrix(n1, w1i, r32)),
+                                   left=True)
+
+        if n1 >= 16 * LANES:
+            self._dense_build = build_dense  # lazy: see __getattr__
+        else:
+            build_dense()
 
         # --- Split-radix left transform (n1 = 256 only; DESIGN.md §2.5c) -
         # At n = 32768 the dense (256, 256) left DFT is 2/3 of the fused
@@ -572,6 +606,83 @@ class MxuPlan64:
             )
             self.mid_inv_nwc_split4 = shoup_pair(
                 lambda k1, m2: pow(omega_inv, pi4(k1) * m2, q)
+                * pow(psi_inv, m2, q) % q * p.n_inv % q
+            )
+
+        # --- Depth-5 split radix (n1 = 4096; n = 2^19) -------------------
+        # Fifth application; same invariants.  Thirty-two leaves, branch
+        # constants by level exactly as depth 4 with one more halving.
+        if n1 == 32 * LANES and q < (1 << 62):
+            w1_32 = pow(w1, 32, q)     # primitive 128th root
+            w1i_32 = pow(w1i, 32, q)
+
+            def scaled_dft128_5(root, colbase, rowbase, scale):
+                pows = _pow_table(root, q, LANES)
+                m = np.empty((LANES, LANES), dtype=object)
+                for i in range(LANES):
+                    rs = pow(rowbase, i, q)
+                    for j in range(LANES):
+                        m[i, j] = (pows[(i * j) % LANES] * pow(colbase, j, q)
+                                   % q * rs % q * scale % q)
+                return m
+
+            def _brev(v, bits):
+                return int(f"{v:0{bits}b}"[::-1], 2)
+
+            _LEAF_EXP5 = tuple(_brev(br, 5) for br in range(32))
+            self.w1s5_nwc = tuple(
+                make_w(scaled_dft128_5(w1_32, pow(w1, e, q) * psi128 % q,
+                                       1, r96), left=True)
+                for e in _LEAF_EXP5
+            )
+            self.w1is5_nwc = tuple(
+                make_w(scaled_dft128_5(w1i_32, 1,
+                                       psi128_inv * pow(w1i, e, q) % q,
+                                       r32), left=True)
+                for e in _LEAF_EXP5
+            )
+            enc_c5 = lambda v: (v, (v << 64) // q)
+            self._split5_P1 = enc_c5(pow(psi128, 16 * LANES, q))
+            self._split5_P2e = enc_c5(pow(psi128, 8 * LANES, q))
+            self._split5_P2o = enc_c5(pow(w1 * psi128 % q, 8 * LANES, q))
+            self._split5_P3 = tuple(
+                enc_c5(pow(pow(w1, e, q) * psi128 % q, 4 * LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            self._split5_P4 = tuple(
+                enc_c5(pow(pow(w1, e, q) * psi128 % q, 2 * LANES, q))
+                for e in (_brev(b, 3) for b in range(8))
+            )
+            self._split5_P5 = tuple(
+                enc_c5(pow(pow(w1, e, q) * psi128 % q, LANES, q))
+                for e in (_brev(b, 4) for b in range(16))
+            )
+            self._split5_Pi1 = enc_c5(pow(psi128_inv, 16 * LANES, q))
+            self._split5_Pi2 = tuple(
+                enc_c5(pow(psi128_inv * pow(w1i, e, q) % q, 8 * LANES, q))
+                for e in (0, 1)
+            )
+            self._split5_Pi3 = tuple(
+                enc_c5(pow(psi128_inv * pow(w1i, e, q) % q, 4 * LANES, q))
+                for e in (0, 2, 1, 3)
+            )
+            self._split5_Pi4 = tuple(
+                enc_c5(pow(psi128_inv * pow(w1i, e, q) % q, 2 * LANES, q))
+                for e in (_brev(b, 3) for b in range(8))
+            )
+            self._split5_Pi5 = tuple(
+                enc_c5(pow(psi128_inv * pow(w1i, e, q) % q, LANES, q))
+                for e in (_brev(b, 4) for b in range(16))
+            )
+            pi5 = lambda r: (32 * (r % LANES) + 16 * ((r >> 7) & 1)
+                             + 8 * ((r >> 8) & 1) + 4 * ((r >> 9) & 1)
+                             + 2 * ((r >> 10) & 1) + ((r >> 11) & 1))
+            self.mid_nwc_split5 = shoup_pair(
+                lambda k1, m2: pow(omega, pi5(k1) * m2, q)
+                * pow(psi, m2, q) % q
+            )
+            self.mid_inv_nwc_split5 = shoup_pair(
+                lambda k1, m2: pow(omega_inv, pi5(k1) * m2, q)
                 * pow(psi_inv, m2, q) % q * p.n_inv % q
             )
 
@@ -1121,6 +1232,106 @@ class MxuPlan64:
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
+    def _left_fwd_split5(self, x, ws):
+        """Depth-5 split-radix forward left transform of a (4096, 128)
+        pair block: five DIF butterfly levels feeding THIRTY-TWO
+        128-contraction leaf matmuls; output row r holds X1[pi5(r)]."""
+        hi, lo = x
+        h = 16 * LANES
+        t1 = self._shoup_const((hi[h:], lo[h:]), self._split5_P1)
+        xt = (hi[:h], lo[:h])
+        u = add_mod64(xt, t1, self.q)
+        v = sub_mod64(xt, t1, self.q)
+
+        def bfly(y, P, h2):
+            yh, yl = y
+            t = self._shoup_const((yh[h2:], yl[h2:]), P)
+            yt = (yh[:h2], yl[:h2])
+            return (add_mod64(yt, t, self.q), sub_mod64(yt, t, self.q))
+
+        outs = []
+        i3 = i4 = i5 = wi = 0
+        for blk, P2 in ((u, self._split5_P2e), (v, self._split5_P2o)):
+            for sub in bfly(blk, P2, 8 * LANES):
+                l3 = bfly(sub, self._split5_P3[i3], 4 * LANES)
+                i3 += 1
+                for sub2 in l3:
+                    l4 = bfly(sub2, self._split5_P4[i4], 2 * LANES)
+                    i4 += 1
+                    for sub3 in l4:
+                        l5 = bfly(sub3, self._split5_P5[i5], LANES)
+                        i5 += 1
+                        for leafblk in l5:
+                            outs.append(self._matmul_mont(
+                                leafblk, ws[wi], left=True, final=False))
+                            wi += 1
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    def _left_inv_split5(self, c, ws):
+        """Depth-5 mirror: thirty-two row-scaled 128-DFT leaves on the
+        pi5-ordered spectrum 32nds, then five merge levels; output rows
+        natural coefficient order."""
+        def halves(pair):
+            h2 = pair[0].shape[0] // 2
+            return ((pair[0][:h2], pair[1][:h2]),
+                    (pair[0][h2:], pair[1][h2:]))
+
+        blocks = []
+        for a in halves(c):
+            for b2 in halves(a):
+                for s in halves(b2):
+                    for s2 in halves(s):
+                        blocks.extend(halves(s2))
+        leaf = [self._matmul_mont(b, w, left=True)
+                for b, w in zip(blocks, ws)]
+
+        def merge(A, B, Pi):
+            top = add_mod64(A, B, self.q)
+            bot = self._shoup_const(sub_mod64(A, B, self.q), Pi)
+            return (jnp.concatenate([top[0], bot[0]], axis=0),
+                    jnp.concatenate([top[1], bot[1]], axis=0))
+
+        m5 = [merge(leaf[2 * i], leaf[2 * i + 1], self._split5_Pi5[i])
+              for i in range(16)]
+        m4 = [merge(m5[2 * i], m5[2 * i + 1], self._split5_Pi4[i])
+              for i in range(8)]
+        m3 = [merge(m4[2 * i], m4[2 * i + 1], self._split5_Pi3[i])
+              for i in range(4)]
+        m2 = [merge(m3[0], m3[1], self._split5_Pi2[0]),
+              merge(m3[2], m3[3], self._split5_Pi2[1])]
+        return merge(m2[0], m2[1], self._split5_Pi1)
+
+    def _nwc_kernel_split5(self, a_hi, a_lo, b_hi, b_lo, *refs):
+        """The fused NWC pipeline with depth-5 split-radix left
+        transforms (n1 = 4096; mids pi5-permuted).  refs layout:
+        32 fwd leaves, w2, 32 inv leaves, w2i, 4 mid words, 4 inv-mid
+        words, out_hi, out_lo."""
+        wf = refs[0:32]
+        w2 = refs[32]
+        wi = refs[33:65]
+        w2i = refs[65]
+        mid_w = (refs[66][...], refs[67][...])
+        mid_ws = (refs[68][...], refs[69][...])
+        midi_w = (refs[70][...], refs[71][...])
+        midi_ws = (refs[72][...], refs[73][...])
+        out_hi, out_lo = refs[74], refs[75]
+
+        def fwd(x):
+            x = self._left_fwd_split5(x, wf)
+            x = self._shoup(x, mid_w, mid_ws)
+            return self._matmul_mont(x, w2, left=False, final=False)
+
+        for g in range(a_hi.shape[0]):
+            fa = fwd((a_hi[g], a_lo[g]))
+            fb = fwd((b_hi[g], b_lo[g]))
+            c = self._emul(fa, fb)
+            c = self._matmul_mont(c, w2i, left=False, final=False)
+            c = self._shoup(c, midi_w, midi_ws)
+            r_hi, r_lo = self._left_inv_split5(c, wi)
+            out_hi[g] = r_hi
+            out_lo[g] = r_lo
+
     def _nwc_kernel_split4(self, a_hi, a_lo, b_hi, b_lo, *refs):
         """The fused NWC pipeline with depth-4 split-radix left
         transforms (n1 = 2048; mids pi4-permuted).  refs layout:
@@ -1574,8 +1785,11 @@ class MxuPlan64:
             # scoped-VMEM budget (27.7 MB at n1 = 1024); v5e has 128 MiB
             # of VMEM, so raise the cap for these large flat plans only —
             # every measured config at or below the window keeps the
-            # default limit and its recorded performance.
-            cp_kw["vmem_limit_bytes"] = 100 * 1024 * 1024
+            # default limit and its recorded performance.  Depth-5
+            # (n1 = 4096) doubles the per-step temporaries once more and
+            # needs the cap near the physical ceiling.
+            mb = 112 if self.n1 >= 32 * LANES else 100
+            cp_kw["vmem_limit_bytes"] = mb * 1024 * 1024
         if self.dimension_semantics is not None and not interpret:
             cp_kw["dimension_semantics"] = (self.dimension_semantics,)
         if cp_kw:
@@ -1604,6 +1818,18 @@ class MxuPlan64:
         (B, n), natural order, coefficients in [0, q)."""
         ga_hi, ga_lo, bsz = self._group_batch(*a)
         gb_hi, gb_lo, _ = self._group_batch(*b)
+        if self.split_left and hasattr(self, "w1s5_nwc"):
+            out = self._call(
+                self._nwc_kernel_split5,
+                (ga_hi, ga_lo, gb_hi, gb_lo),
+                (
+                    *self.w1s5_nwc, self.w2,
+                    *self.w1is5_nwc, self.w2i,
+                    *self.mid_nwc_split5, *self.mid_inv_nwc_split5,
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         if self.split_left and hasattr(self, "w1s4_nwc"):
             out = self._call(
                 self._nwc_kernel_split4,
