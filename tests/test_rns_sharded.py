@@ -1,0 +1,170 @@
+"""Channel-parallel sharded RNS (tpu_ntt/rns_sharded.py) on the 8-virtual-
+device CPU mesh: bit-exact parity vs the single-device RnsRing / host
+big-int decode, plus STRUCTURAL assertions on the compiled SPMD programs
+(products must contain zero collectives; the CRT exit exactly the one
+channel-axis all-reduce).  The reference has no multi-device counterpart
+(single-FPGA pipeline); SURVEY.md §2.8 mandates the mesh analog."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_ntt.rns import RnsRing
+from tpu_ntt.rns_sharded import ShardedRnsRing
+
+N, K, B = 256, 8, 3
+
+
+def _rand_mod(rng, q, shape):
+    flat = [rng.randrange(q) for _ in range(int(np.prod(shape)))]
+    return np.array(flat, dtype=object).reshape(shape)
+
+
+@pytest.fixture(scope="module")
+def ring():
+    return RnsRing(N, channels=K, prime_width=24)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:4]).reshape(4), ("ch",))
+
+
+@pytest.fixture(scope="module")
+def sharded(ring, mesh):
+    return ShardedRnsRing(ring, mesh)
+
+
+@pytest.fixture(scope="module")
+def operands(ring):
+    rng = random.Random(1234)
+    a = _rand_mod(rng, ring.q, (B, N))
+    b = _rand_mod(rng, ring.q, (B, N))
+    return a, b
+
+
+def test_product_parity_and_sharding(ring, sharded, operands):
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    C = sharded.nwc_mult(A, Bx)
+    ref = ring.nwc_mult(ring.encode(a), ring.encode(b))
+    for i, (got, want) in enumerate(zip(sharded.get(C), ref)):
+        assert np.array_equal(got, np.asarray(want)), f"channel {i}"
+    assert C.sharding.spec == P("ch")
+
+
+def test_product_hlo_has_no_collectives(sharded, ring, operands):
+    """The channel axis is embarrassingly parallel for products: the
+    compiled SPMD program must move no data between devices."""
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    hlo = jax.jit(sharded._mult).lower(
+        sharded.tabs, sharded.scal, A, Bx).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute"):
+        assert op not in hlo, f"unexpected collective {op} in product"
+
+
+def test_add_sub_automorphism_parity(ring, sharded, operands):
+    a, b = operands
+    ea, eb = ring.encode(a), ring.encode(b)
+    A, Bx = sharded.put(ea), sharded.put(eb)
+    for got, want in zip(sharded.get(sharded.add(A, Bx)), ring.add(ea, eb)):
+        assert np.array_equal(got, np.asarray(want))
+    for got, want in zip(sharded.get(sharded.sub(A, Bx)), ring.sub(ea, eb)):
+        assert np.array_equal(got, np.asarray(want))
+    g = 2 * N - 1  # conjugation map
+    for got, want in zip(sharded.get(sharded.automorphism(A, g)),
+                         ring.automorphism(ea, g)):
+        assert np.array_equal(got, np.asarray(want))
+
+
+def test_crt_exit_bit_exact_with_one_all_reduce(ring, sharded, operands):
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    C = sharded.nwc_mult(A, Bx)
+    words = sharded.reconstruct_words(C)
+    dec = ring.decode_words(np.asarray(words))
+    want = ring.decode(ring.nwc_mult(ring.encode(a), ring.encode(b)))
+    assert np.array_equal(dec, want)
+    hlo = sharded._reconstruct.lower(sharded.scal, C).compile().as_text()
+    assert "all-reduce" in hlo  # the channel-axis digit sum
+
+
+def test_rescale_parity(ring, sharded, operands):
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    C = sharded.nwc_mult(A, Bx)
+    ref = ring.rescale(ring.nwc_mult(ring.encode(a), ring.encode(b)))
+    for got, want in zip(sharded.get(sharded.rescale(C)), ref):
+        assert np.array_equal(got, np.asarray(want))
+
+
+def test_spectrum_cached_product(ring, sharded, operands):
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    want = sharded.get(sharded.nwc_mult(A, Bx))
+    got = sharded.get(sharded.spectrum_mult(sharded.nwc_fwd(A),
+                                            sharded.nwc_fwd(Bx)))
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_chain_stays_on_device_and_decodes(ring, sharded):
+    """mult -> add -> automorphism -> rescale -> decode, vs big-int."""
+    rng = random.Random(77)
+    a = _rand_mod(rng, ring.q, (1, N))
+    b = _rand_mod(rng, ring.q, (1, N))
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    C = sharded.automorphism(sharded.add(sharded.nwc_mult(A, Bx), A), 5)
+    R = sharded.rescale(C)
+    dec = sharded.drop_last().decode(R)
+    ref = ring.rescale(ring.automorphism(
+        ring.add(ring.nwc_mult(ring.encode(a), ring.encode(b)),
+                 ring.encode(a)), 5))
+    want = ring.drop_last().decode(ref)
+    assert np.array_equal(dec, want)
+
+
+def test_composes_under_user_jit(ring, sharded, operands):
+    a, b = operands
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+
+    @jax.jit
+    def fused(x, y):
+        return sharded.add(sharded.nwc_mult(x, y), x)
+
+    got = sharded.get(fused(A, Bx))
+    ea, eb = ring.encode(a), ring.encode(b)
+    want = ring.add(ring.nwc_mult(ea, eb), ea)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, np.asarray(w))
+
+
+def test_30bit_band_parity():
+    """Band edge: 30-bit primes (largest width device_stage_tables
+    covers) — the float CRT k-estimate's correction must stay exact."""
+    ring = RnsRing(N, channels=4, prime_width=30)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("ch",))
+    sharded = ShardedRnsRing(ring, mesh)
+    rng = random.Random(99)
+    a = _rand_mod(rng, ring.q, (N,))
+    b = _rand_mod(rng, ring.q, (N,))
+    A, Bx = sharded.put(ring.encode(a)), sharded.put(ring.encode(b))
+    C = sharded.nwc_mult(A, Bx)
+    dec = ring.decode_words(np.asarray(sharded.reconstruct_words(C)))
+    want = ring.decode(ring.nwc_mult(ring.encode(a), ring.encode(b)))
+    assert np.array_equal(dec, want)
+
+
+def test_rejects_mixed_width_basis():
+    r24 = RnsRing(N, channels=2, prime_width=24)
+    r30 = RnsRing(N, channels=2, prime_width=30)
+    mixed = RnsRing(N, moduli=[r24.moduli[0], r30.moduli[0]])
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("ch",))
+    with pytest.raises(ValueError, match="same-width"):
+        ShardedRnsRing(mixed, mesh)

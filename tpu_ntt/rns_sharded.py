@@ -1,0 +1,409 @@
+"""Channel-parallel (residue-parallel) RNS rings over a device mesh.
+
+Scale-out axis for wide-modulus / FHE workloads: the RNS channels of
+:class:`tpu_ntt.rns.RnsRing` are INDEPENDENT for every ring operation
+except the CRT exit and base conversion, so the natural multi-chip
+layout shards the CHANNEL axis across the mesh — the residue-level
+parallelism that production RNS-FHE systems scale by.  The reference
+accelerator has no multi-device story at all (single-FPGA pipeline,
+rtl/ntt_poly_mult.sv); SURVEY.md §2.8 mandates mesh sharding as the TPU
+analog, and this module is its wide-modulus instance.
+
+Design (TPU-first, not a translation):
+
+* One q-GENERIC compiled program serves every channel.  The per-channel
+  fused kernels (kernels/mxu.py) bake q into the trace, which is ideal
+  single-chip but cannot be a single SPMD program over channels with
+  different moduli.  Here the modulus enters as DATA: a
+  :class:`_TracedRing32` carries q / Barrett-mu as traced uint32 scalars
+  (every modmath primitive is already polymorphic in q — they only cast
+  and compare), the per-stage twiddle tables come from
+  ``tables.device_stage_tables`` (the runtime-(n,q) builder), and the
+  UNCHANGED merged-psi transforms of ntt.py run under ``jax.vmap`` over
+  the stacked channel axis.  ``jit`` + ``NamedSharding(mesh, P(axis))``
+  then partitions the vmapped program so each device runs only its
+  channels — zero collectives in products, additions, automorphisms and
+  rescales (asserted by tests/test_rns_sharded.py on the compiled HLO).
+* The exact CRT exit is ONE collective.  ``reconstruct_words`` needs
+  ``sum_j y_j * E_j`` across all channels; multiword ripple-carry sums
+  do not commute with an elementwise all-reduce (carries), so each
+  channel instead accumulates its contribution in RADIX-2^16 digit
+  lanes held in uint32 (per-position magnitude < 2^17 per channel,
+  < 2^23 for <= 64 channels — no wrap), the digit array is summed over
+  the channel axis (``jnp.sum`` on a sharded axis: XLA inserts the
+  all-reduce), and the replicated finish carry-propagates the digits
+  and applies the same exact k-estimate correction as
+  ``RnsRing.reconstruct_words`` (rns.py:148-155).  Bit-exact vs the
+  host big-int decode.
+
+Single-chip honesty: per chip this path is SLOWER than
+``RnsRing.nwc_mult`` (whose 24-bit channels ride the int8-MXU fused
+kernel); its value is the scale-out — per-channel work is
+embarrassingly parallel, so throughput scales with the mesh while the
+fused-kernel ring is pinned to one device per program.  Measured rates:
+BENCH_NOTES.md round 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import ntt, tables
+from .modmath import (add_mod32, barrett_mul32, mul32, shoup_mul32,
+                      sub_mod32)
+from .params import Reduction
+from .rns import RnsRing, automorphism_tables
+
+
+class _TracedRing32:
+    """Ring32's algebra with q and mu as TRACED uint32 scalars.
+
+    modmath's single-word primitives only ever cast q (``U32(q)``) and
+    compare against it, so they accept tracers unchanged; Barrett's
+    shift amount k = bitlen(q) stays static (same-width basis).  Shoup
+    twiddles arrive as (w, w_shoup) pairs from the device table builder.
+    """
+
+    nlimbs = 1
+    reduction = Reduction.SHOUP
+
+    def __init__(self, q, k: int, mu):
+        self.q = q
+        self.k = k
+        self.mu = mu
+
+    def add(self, a, b):
+        return add_mod32(a, b, self.q)
+
+    def sub(self, a, b):
+        return sub_mod32(a, b, self.q)
+
+    def mul(self, a, b):
+        return barrett_mul32(a, b, self.q, self.k, self.mu)
+
+    def mul_tw(self, a, tw):
+        return shoup_mul32(a, tw[0], tw[1], self.q)
+
+    def select(self, pred, t, f):
+        return jnp.where(pred, t, f)
+
+    def full_like(self, ref, v):
+        return jnp.full_like(ref, v)
+
+
+class _GenericPlan:
+    """Duck-typed NttPlan view over one channel's traced tables: exactly
+    the attributes the merged-psi transforms consume (ntt.py:299-353)."""
+
+    def __init__(self, n: int, ring: _TracedRing32, tabs: dict):
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.ring = ring
+        self.merged_tw = tabs["merged_tw"]
+        self.merged_tw_inv = tabs["merged_tw_inv"]
+        self.n_inv_tw = tabs["n_inv_tw"]
+
+
+_TABLE_KEYS = ("merged_tw", "merged_tw_inv", "n_inv_tw")
+
+
+def _channel_op(op, n, k, tabs, scal, *xs):
+    plan = _GenericPlan(n, _TracedRing32(scal["q"], k, scal["mu"]), tabs)
+    return op(plan, *xs)
+
+
+class ShardedRnsRing:
+    """An :class:`RnsRing` whose channels live sharded across a mesh.
+
+    Residues are ONE stacked uint32 array of shape (k, ..., n) with the
+    channel axis sharded ``P(axis)``; every ring op below is a single
+    jitted SPMD program over that layout.  Requires a same-width basis
+    (shared Barrett k) of single-word primes (q < 2^30 — the
+    device-table band); the channel count need not divide the mesh
+    (GSPMD pads uneven shards).
+    """
+
+    def __init__(self, ring: RnsRing, mesh: Mesh, axis: str = "ch"):
+        self.ring = ring
+        self.mesh = mesh
+        self.axis = axis
+        self.n = ring.n
+        ks = {p.barrett_k for p in ring.params}
+        if len(ks) != 1:
+            raise ValueError(
+                "channel-parallel sharding needs a same-width basis "
+                f"(one shared Barrett k, got {sorted(ks)})"
+            )
+        if ring.params[0].width > 30:
+            raise ValueError(
+                "channel-parallel RNS covers single-word primes "
+                "(q < 2^30, the device-table band)"
+            )
+        self.k_bits = ring.params[0].barrett_k
+        self.nch = len(ring.moduli)
+
+        # Stacked per-channel tables (channel axis 0 on every leaf) and
+        # q-dependent scalars; the per-channel builds share one compiled
+        # table program (tables._stage_table_builder cache).
+        per_ch = [
+            {key: t[key] for key in _TABLE_KEYS}
+            for t in (tables.device_stage_tables(p) for p in ring.params)
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_ch)
+        scal = {
+            "q": jnp.asarray([p.q for p in ring.params], dtype=jnp.uint32),
+            "mu": jnp.asarray([p.barrett_mu for p in ring.params],
+                              dtype=jnp.uint32),
+        }
+        # jax requires the sharded axis to divide the mesh at placement /
+        # jit boundaries; an uneven channel count (e.g. a drop_last view)
+        # falls back to replicated layout — correct, just not scaled.
+        even = self.nch % mesh.shape[axis] == 0
+        self.spec = NamedSharding(mesh, P(axis) if even else P())
+        self.tabs = jax.device_put(stacked, self.spec)
+        self.scal = jax.device_put(scal, self.spec)
+
+    # -- residue IO -----------------------------------------------------------
+    def put(self, residues: Sequence) -> jnp.ndarray:
+        """Per-channel residue list (RnsRing.encode layout) -> stacked
+        (k, ..., n) device array, channel axis sharded."""
+        x = jnp.stack([jnp.asarray(r, dtype=jnp.uint32) for r in residues])
+        return jax.device_put(x, self.spec)
+
+    def get(self, x) -> list:
+        """Stacked residues -> host per-channel list (RnsRing layout)."""
+        return [np.asarray(c) for c in np.asarray(x)]
+
+    # -- jitted SPMD ops ------------------------------------------------------
+    @functools.cached_property
+    def _mult(self):
+        f = functools.partial(_channel_op, ntt.nwc_poly_mult_merged,
+                              self.n, self.k_bits)
+        return jax.jit(jax.vmap(f))
+
+    @functools.cached_property
+    def _fwd(self):
+        f = functools.partial(_channel_op, ntt.nwc_fwd_merged,
+                              self.n, self.k_bits)
+        return jax.jit(jax.vmap(f))
+
+    @functools.cached_property
+    def _inv(self):
+        f = functools.partial(_channel_op, ntt.nwc_inv_merged,
+                              self.n, self.k_bits)
+        return jax.jit(jax.vmap(f))
+
+    def nwc_mult(self, a, b):
+        """Negacyclic product per channel — one SPMD program, zero
+        collectives (each device transforms only its channels)."""
+        return self._mult(self.tabs, self.scal, a, b)
+
+    def nwc_fwd(self, x):
+        """Merged-psi forward spectra (bit-reversed order) per channel —
+        the cached-operand half of a spectrum-resident product."""
+        return self._fwd(self.tabs, self.scal, x)
+
+    def spectrum_mult(self, fa, fb):
+        """Pointwise product of two spectra + inverse transform (use with
+        nwc_fwd-cached fixed operands)."""
+        def f(tabs, scal, sa, sb):
+            ring = _TracedRing32(scal["q"], self.k_bits, scal["mu"])
+            plan = _GenericPlan(self.n, ring, tabs)
+            return ntt.nwc_inv_merged(plan, ring.mul(sa, sb))
+
+        return jax.jit(jax.vmap(f))(self.tabs, self.scal, fa, fb)
+
+    @functools.cached_property
+    def _add(self):
+        def f(q, a, b):
+            return add_mod32(a, b, q)
+
+        return jax.jit(jax.vmap(f))
+
+    @functools.cached_property
+    def _sub(self):
+        def f(q, a, b):
+            return sub_mod32(a, b, q)
+
+        return jax.jit(jax.vmap(f))
+
+    def add(self, a, b):
+        return self._add(self.scal["q"], a, b)
+
+    def sub(self, a, b):
+        return self._sub(self.scal["q"], a, b)
+
+    def automorphism(self, x, g: int):
+        """Galois map x -> x^g (rns.automorphism_tables semantics),
+        channel-local: one gather + sign flip per channel."""
+        src, neg = automorphism_tables(self.n, g)
+
+        @jax.jit
+        @jax.vmap
+        def f(q, r):
+            v = jnp.take(r, jnp.asarray(src), axis=-1)
+            return jnp.where(jnp.asarray(neg) & (v != 0), q - v, v)
+
+        return f(self.scal["q"], x)
+
+    def rescale(self, x):
+        """Exact floor-divide by the LAST channel's prime
+        (RnsRing.rescale semantics, rns.py:384-409): returns (k-1, ...)
+        stacked residues of floor(c / p_k) mod q/p_k.  The dropped
+        channel's residues are the only cross-channel traffic (one
+        broadcast of a (..., n) slice)."""
+        pk = self.ring.moduli[-1]
+        invs = jnp.asarray(
+            [pow(pk % p.q, -1, p.q) for p in self.ring.params[:-1]],
+            dtype=jnp.uint32,
+        )
+
+        @jax.jit
+        def f(scal, x):
+            ck = x[-1]
+
+            def per(q, mu, inv, r):
+                ck_i = jnp.where(ck >= q, ck - q, ck)
+                d = sub_mod32(r, ck_i, q)
+                return barrett_mul32(d, jnp.full_like(d, inv), q,
+                                     self.k_bits, mu)
+
+            out = jax.vmap(per)(scal["q"][:-1], scal["mu"][:-1], invs,
+                                x[:-1])
+            # keep the result channel-sharded when it still divides the
+            # mesh; jax requires divisibility at the jit boundary, so an
+            # uneven (k-1) falls back to the compiler's choice (a chain
+            # that rescales repeatedly should size its basis so the
+            # level counts it visits divide the mesh)
+            if (self.nch - 1) % self.mesh.shape[self.axis] == 0:
+                out = jax.lax.with_sharding_constraint(out, self.spec)
+            return out
+
+        return f(self.scal, x)
+
+    def drop_last(self) -> "ShardedRnsRing":
+        """The sharded view of the rescale target ring."""
+        if getattr(self, "_drop_last", None) is None:
+            self._drop_last = ShardedRnsRing(self.ring.drop_last(),
+                                             self.mesh, self.axis)
+        return self._drop_last
+
+    # -- exact CRT exit (the one collective) ----------------------------------
+    @functools.cached_property
+    def _reconstruct(self):
+        ring = self.ring
+        W = ring._acc_words
+        D = 2 * W  # radix-2^16 digit positions
+        q_words = [int(v) for v in ring._q_words]
+        # E_j's 32-bit words, (k, W) uint32 (host big-int, O(k^2) once)
+        E_words = jnp.asarray(ring._E_words)
+        invs = jnp.asarray(ring._inv, dtype=jnp.uint32)
+        p_inv_f = jnp.asarray([1.0 / p.q for p in ring.params],
+                              dtype=jnp.float32)
+        kb = self.k_bits
+        nch = self.nch
+        nwords = ring.nwords
+        U32 = jnp.uint32
+        M16 = jnp.uint32(0xFFFF)
+
+        @jax.jit
+        def rec(scal, x):
+            # per-channel digit contributions, then ONE cross-channel sum
+            def per_ch(q, mu, inv, ew, pinv, r):
+                y = barrett_mul32(r, jnp.full_like(r, inv), q, kb, mu)
+                digits = [jnp.zeros_like(r) for _ in range(D)]
+                for w in range(W):
+                    hi, lo = mul32(y, jnp.broadcast_to(ew[w], y.shape))
+                    digits[2 * w] = digits[2 * w] + (lo & M16)
+                    digits[2 * w + 1] = digits[2 * w + 1] + (lo >> 16)
+                    if 2 * w + 2 < D:
+                        digits[2 * w + 2] = digits[2 * w + 2] + (hi & M16)
+                    if 2 * w + 3 < D:
+                        digits[2 * w + 3] = digits[2 * w + 3] + (hi >> 16)
+                return jnp.stack(digits), y.astype(jnp.float32) * pinv
+
+            digits, s = jax.vmap(per_ch)(scal["q"], scal["mu"], invs,
+                                         E_words, p_inv_f, x)
+            # channel axis is sharded: these sums are the all-reduce
+            dsum = jnp.sum(digits, axis=0)  # (D, ..., n) < 2^23 per lane
+            k_est = jnp.clip(jnp.floor(jnp.sum(s, axis=0)), 0,
+                             nch).astype(U32)
+
+            # replicated finish: carry-propagate radix-2^16 digits into
+            # 32-bit words (each digit sum < 2^23, carries < 2^7)
+            words = []
+            carry = jnp.zeros_like(k_est)
+            halves = []
+            for t in range(D):
+                v = dsum[t] + carry
+                halves.append(v & M16)
+                carry = v >> 16
+            for w in range(W):
+                words.append(halves[2 * w] | (halves[2 * w + 1] << 16))
+
+            # T = words + q - k_est*q, then two conditional subtracts —
+            # the same exact correction as RnsRing.reconstruct_words
+            def add_at(acc, val, w0):
+                c = val
+                for i in range(w0, W):
+                    t = acc[i] + c
+                    c = (t < acc[i]).astype(U32)
+                    acc[i] = t
+
+            acc = [jnp.broadcast_to(U32(qw), k_est.shape).astype(U32)
+                   for qw in q_words]
+            for w in range(W):
+                add_at(acc, words[w], w)
+            m = [jnp.zeros_like(k_est) for _ in range(W)]
+            for w in range(W):
+                if q_words[w] == 0:
+                    continue
+                hi, lo = mul32(k_est, jnp.full_like(k_est, q_words[w]))
+                add_at(m, lo, w)
+                if w + 1 < W:
+                    add_at(m, hi, w + 1)
+            borrow = jnp.zeros_like(k_est)
+            for w in range(W):
+                sub = m[w] + borrow
+                bw = (sub < borrow).astype(U32)
+                t = acc[w] - sub
+                borrow = bw + (acc[w] < sub).astype(U32)
+                acc[w] = t
+            for _ in range(2):
+                gt = jnp.zeros_like(k_est, dtype=jnp.bool_)
+                eq = jnp.ones_like(k_est, dtype=jnp.bool_)
+                for w in range(W - 1, -1, -1):
+                    qw = U32(q_words[w])
+                    gt = gt | (eq & (acc[w] > qw))
+                    eq = eq & (acc[w] == qw)
+                ge = gt | eq
+                borrow = jnp.zeros_like(k_est)
+                new = []
+                for w in range(W):
+                    qw = jnp.full_like(k_est, q_words[w])
+                    sub = qw + borrow
+                    bw = (sub < borrow).astype(U32)
+                    t = acc[w] - sub
+                    borrow = bw + (acc[w] < sub).astype(U32)
+                    new.append(jnp.where(ge, t, acc[w]))
+                acc = new
+            return jnp.stack(acc[:nwords], axis=-1)
+
+        return rec
+
+    def reconstruct_words(self, x):
+        """Exact on-device CRT exit of the stacked sharded residues:
+        (k, ..., n) -> (..., n, nwords) uint32 little-endian words of the
+        canonical value in [0, q).  One all-reduce over the channel axis
+        (the radix-2^16 digit sum); bit-exact vs RnsRing.decode."""
+        return self._reconstruct(self.scal, x)
+
+    def decode(self, x) -> np.ndarray:
+        """Host object-int exit (tests / IO)."""
+        return self.ring.decode_words(self.reconstruct_words(x))
