@@ -95,6 +95,28 @@ def main():
     print("  product -> key-switch -> rotate -> rescale -> CRT exit, all "
           "device-resident")
 
+    # --- hybrid key switch (ModUp / ModDown, the production dnum form) ---
+    dnum = 2
+    special = rns.ntt_friendly_primes(n, 24, 1, below=min(ring.moduli))
+    qp = ring.extended(special)
+    groups = ring.digit_groups(dnum)
+    hksk_int = [[rng.randrange(qp.q) for _ in range(n)] for _ in groups]
+    hksk = [qp.encode(np.array(kj, dtype=object)) for kj in hksk_int]
+    hy = ring.decode(ring.hybrid_key_switch(rc, hksk, special, dnum=dnum))
+
+    acc = [0] * n
+    for idxs, kj in zip(groups, hksk_int):
+        qg = 1
+        for i in idxs:
+            qg *= ring.moduli[i]
+        digit = [v % qg for v in c]
+        prod = schoolbook_nwc(digit, kj, qp.q)
+        acc = [(x + y) % qp.q for x, y in zip(acc, prod)]
+    hwant = [v // special[0] for v in acc]
+    assert [int(v) for v in hy[0]] == hwant, "hybrid key-switch diverged"
+    print(f"hybrid key-switch (dnum={dnum}, 1 special prime): EXACT "
+          "(ModUp -> fused digit dot over Q u P -> exact ModDown)")
+
 
 if __name__ == "__main__":
     main()

@@ -349,3 +349,77 @@ def test_rns_ring_crt_exit_composes_under_user_jit(rng=random.Random(48)):
     for i, p in enumerate(tgt.moduli):
         assert [int(v) for v in np.asarray(jext[i])[0]] == [
             int(c) % p for c in want[0]]
+
+
+def test_rns_ring_hybrid_key_switch_vs_bigint_oracle(rng=random.Random(49)):
+    """Hybrid key switching (ModUp -> fused digit dot over Q u P ->
+    exact ModDown): the production dnum-grouped form vs the big-int
+    floor formula  out = floor((sum_j d_j * K_j mod QP) / P)."""
+    n = 256
+    B = 2
+    dnum = 2
+    ring = rns.RnsRing(n, channels=4)
+    special = rns.ntt_friendly_primes(n, 24, 2, below=min(ring.moduli))
+    qp = ring.extended(special)
+    p_prod = special[0] * special[1]
+    assert qp.moduli[-2:] == special  # ModDown drops exactly P
+
+    cs = [[rng.randrange(ring.q) for _ in range(n)] for _ in range(B)]
+    cs[0][:3] = [0, 1, ring.q - 1]  # boundary coefficients
+    groups = ring.digit_groups(dnum)
+    ksk_int = [[rng.randrange(qp.q) for _ in range(n)] for _ in groups]
+    ksk = [qp.encode(np.array(kj, dtype=object)) for kj in ksk_int]
+
+    want = []
+    for b in range(B):
+        acc = [0] * n
+        for idxs, kj in zip(groups, ksk_int):
+            qg = 1
+            for i in idxs:
+                qg *= ring.moduli[i]
+            digit = [v % qg for v in cs[b]]
+            prod = schoolbook_nwc(digit, kj, qp.q)
+            acc = [(x + y) % qp.q for x, y in zip(acc, prod)]
+        want.append([v // p_prod for v in acc])
+
+    rc = ring.encode(cs)
+    got = ring.decode(ring.hybrid_key_switch(rc, ksk, special, dnum=dnum))
+    for b in range(B):
+        assert [int(v) for v in got[b]] == want[b]
+
+
+def test_rns_ring_hybrid_key_switch_guards():
+    ring = rns.RnsRing(64, channels=4)
+    special = rns.ntt_friendly_primes(64, 24, 1, below=min(ring.moduli))
+    with pytest.raises(ValueError, match="dnum"):
+        ring.digit_groups(5)
+    with pytest.raises(ValueError, match="digits"):
+        ring.hybrid_key_switch(ring.encode([[0] * 64]), [], special,
+                               dnum=2)
+
+
+def test_rns_ring_gadget_dot_int_list_keys_n128(rng=random.Random(50)):
+    """Regression: raw Python-list key polynomials acquire int32 under a
+    bare jnp.asarray, and int32 silently corrupts the XLA path's unsigned
+    wraparound arithmetic (found via examples/fhe_modulus_chain.py at
+    n=128, where dispatch routes the dot to the XLA backend).  All rns
+    entry seams now coerce through _u32."""
+    n = 128
+    ring = rns.RnsRing(n, channels=3)
+    q = ring.q
+    cs = [[rng.randrange(q) for _ in range(n)]]
+    ksk = [[[rng.randrange(p) for _ in range(n)] for p in ring.moduli]
+           for _ in range(3)]
+    acc = [0] * n
+    for j, pj in enumerate(ring.moduli):
+        digit = [c % pj for c in cs[0]]
+        kj = [int(v) for v in
+              ring.decode([np.array([ksk[j][i]], dtype=np.uint32)
+                           for i in range(3)])[0]]
+        prod = schoolbook_nwc(digit, kj, q)
+        acc = [(x + y) % q for x, y in zip(acc, prod)]
+    got = ring.decode(ring.gadget_dot(ring.encode(cs), ksk))
+    assert [int(v) for v in got[0]] == acc
+    specs = ring.ksk_spectra(ksk, batch=1)
+    got2 = ring.decode(ring.gadget_dot_cached(ring.encode(cs), specs))
+    assert [int(v) for v in got2[0]] == acc

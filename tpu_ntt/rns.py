@@ -32,6 +32,18 @@ from . import dispatch
 from .params import NttParams, _is_probable_prime, make_params
 
 
+def _u32(x):
+    """Residue arrays MUST be uint32 on device: the single-word modmath
+    primitives rely on unsigned wraparound and logical shifts, and an
+    int32 array (the default dtype a raw Python list acquires under
+    jnp.asarray) silently corrupts them on the XLA path (signed overflow
+    / arithmetic shifts).  Tracer-safe cast — the third instance of the
+    raw-host-container bug family (kyber._u32, reconstruct_words)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
 def ntt_friendly_primes(n: int, width: int, count: int,
                         below: int | None = None) -> list[int]:
     """The ``count`` largest primes p < 2^width with 2n | p - 1 (so a
@@ -220,7 +232,7 @@ class RnsRing:
 
         return [
             jnp.where(s >= p.q, s - np.uint32(p.q), s)
-            for p, s in ((p, jnp.asarray(ra) + jnp.asarray(rb))
+            for p, s in ((p, _u32(ra) + _u32(rb))
                          for p, ra, rb in zip(self.params, a, b))
         ]
 
@@ -229,7 +241,7 @@ class RnsRing:
 
         out = []
         for p, ra, rb in zip(self.params, a, b):
-            ra, rb = jnp.asarray(ra), jnp.asarray(rb)
+            ra, rb = _u32(ra), _u32(rb)
             out.append(jnp.where(ra >= rb, ra - rb,
                                  ra + np.uint32(p.q) - rb))
         return out
@@ -398,11 +410,11 @@ class RnsRing:
 
         self._check_same_width()
         pk = self.moduli[-1]
-        ck = jnp.asarray(residues[-1])
+        ck = _u32(residues[-1])
         out = []
         for p, r in zip(self.params[:-1], residues[:-1]):
             ck_i = jnp.where(ck >= p.q, ck - np.uint32(p.q), ck)
-            d = sub_mod32(jnp.asarray(r), ck_i, p.q)
+            d = sub_mod32(_u32(r), ck_i, p.q)
             inv = pow(pk % p.q, -1, p.q)
             out.append(barrett_mul32(d, jnp.full_like(d, inv), p.q,
                                      p.barrett_k, p.barrett_mu))
@@ -422,7 +434,7 @@ class RnsRing:
         neg_j = jnp.asarray(neg)
         out = []
         for p, r in zip(self.params, residues):
-            v = jnp.take(jnp.asarray(r), src_j, axis=-1)
+            v = jnp.take(_u32(r), src_j, axis=-1)
             out.append(jnp.where(neg_j & (v != 0), np.uint32(p.q) - v, v))
         return out
 
@@ -478,7 +490,7 @@ class RnsRing:
         k = len(self.moduli)
         if len(ksk) != k:
             raise ValueError(f"ksk has {len(ksk)} digits, basis has {k}")
-        digits = [jnp.asarray(r) for r in c]
+        digits = [_u32(r) for r in c]
         out = []
         for i, p in enumerate(self.params):
             # digit stack in channel i: d_j mod p_i (one cond. subtract)
@@ -486,7 +498,7 @@ class RnsRing:
                 jnp.where(d >= p.q, d - np.uint32(p.q), d) for d in digits
             ])
             kstack = jnp.stack([
-                jnp.broadcast_to(jnp.asarray(ksk[j][i]), dstack.shape[1:])
+                jnp.broadcast_to(_u32(ksk[j][i]), dstack.shape[1:])
                 for j in range(k)
             ])
             dot = (dispatch_dot or dispatch.best_nwc_dot)(p)
@@ -506,8 +518,7 @@ class RnsRing:
             spec = dispatch.best_nwc_spectrum(p)
             stacks = []
             for j in range(k):
-                kij = jnp.asarray(ksk[j][i])
-                kij = jnp.broadcast_to(kij, (batch, self.n))
+                kij = jnp.broadcast_to(_u32(ksk[j][i]), (batch, self.n))
                 stacks.append(spec(kij))
             out.append(jnp.stack(stacks))
         return out
@@ -518,7 +529,7 @@ class RnsRing:
         import jax.numpy as jnp
 
         self._check_same_width()
-        digits = [jnp.asarray(r) for r in c]
+        digits = [_u32(r) for r in c]
         out = []
         for i, p in enumerate(self.params):
             dstack = jnp.stack([
@@ -527,6 +538,108 @@ class RnsRing:
             out.append(dispatch.best_nwc_dot_cached(p)(dstack,
                                                        ksk_specs[i]))
         return out
+
+    # -- hybrid key switching (ModUp / ModDown, RNS-CKKS/BGV practice) --------
+    #
+    # Production key switching groups the RNS channels into dnum DIGIT
+    # GROUPS: each digit is the canonical value modulo its group's product
+    # (not a single prime), extended to the full basis Q' = Q u P of the
+    # ciphertext primes plus `special` primes (ModUp), multiplied against
+    # keys living over Q', and divided back down by P (ModDown).  Larger
+    # groups mean fewer key polynomials and fewer products at the cost of
+    # larger digits — the dnum knob every RNS-FHE library exposes.  Here
+    # all three phases are exact and device-resident: ModUp rides the
+    # EXACT base extension (no BEHZ +kq term), the inner product is the
+    # fused spectrum dot per channel, and ModDown is the exact floor
+    # rescale iterated over the special primes.
+
+    def extended(self, special: Sequence[int]) -> "RnsRing":
+        """The Q u P ring with ``special`` primes appended LAST (so
+        ModDown = rescale once per special prime)."""
+        key = tuple(int(m) for m in special)
+        cache = getattr(self, "_extended", None)
+        if cache is None:
+            cache = self._extended = {}
+        if key not in cache:
+            cache[key] = RnsRing(self.n, moduli=self.moduli + list(key))
+        return cache[key]
+
+    def digit_groups(self, dnum: int) -> list:
+        """Contiguous channel-index partition of Q into dnum digit groups
+        (last group takes the remainder)."""
+        k = len(self.moduli)
+        if not 1 <= dnum <= k:
+            raise ValueError(f"dnum must be in [1, {k}], got {dnum}")
+        per = (k + dnum - 1) // dnum
+        return [list(range(g * per, min(k, (g + 1) * per)))
+                for g in range(dnum) if g * per < k]
+
+    def _group_ring(self, idxs) -> "RnsRing":
+        key = tuple(idxs)
+        cache = getattr(self, "_group_rings", None)
+        if cache is None:
+            cache = self._group_rings = {}
+        if key not in cache:
+            cache[key] = RnsRing(self.n,
+                                 moduli=[self.moduli[i] for i in idxs])
+        return cache[key]
+
+    def mod_up(self, residues, groups, qp: "RnsRing") -> list:
+        """ModUp: per digit group, the canonical digit value (in
+        [0, Q_group)) exactly extended to every channel of ``qp``.
+        Returns a list over groups of qp-residue lists."""
+        out = []
+        for idxs in groups:
+            sub = self._group_ring(idxs)
+            out.append(sub.base_extend([residues[i] for i in idxs], qp))
+        return out
+
+    def mod_down(self, qp: "RnsRing", residues, num_special: int) -> list:
+        """ModDown: exact floor division by the product of the (last)
+        ``num_special`` channels — rescale iterated, landing back on the
+        Q basis.  floor(floor(x/p1)/p2) = floor(x/(p1*p2)), so the
+        iteration IS division by P."""
+        r, res = qp, residues
+        for _ in range(num_special):
+            res = r.rescale(res)
+            r = r.drop_last()
+        return res
+
+    def hybrid_key_switch(self, c, ksk, special: Sequence[int],
+                          dnum: int | None = None) -> list:
+        """Hybrid key switch: residues of c over Q -> residues over Q of
+
+            floor( (sum_j d_j *_nwc ksk_j mod Q*P) / P )
+
+        with d_j the canonical dnum-group digits of c (ModUp) and ksk_j
+        the key polynomials over the extended basis (an FHE scheme stores
+        P*B_j*s + e_j there; this framework is exact arithmetic, so the
+        contract is the floor formula itself — verified against the
+        big-int oracle in tests/test_rns.py).
+
+        ksk: list over groups of qp-residue lists (ksk[j][i] in channel i
+        of ``self.extended(special)``, (n,) or (B, n)).  The inner
+        product runs as ONE fused spectrum dot per qp channel (K = dnum
+        forwards + one inverse)."""
+        import jax.numpy as jnp
+
+        qp = self.extended(special)
+        qp._check_same_width()
+        groups = self.digit_groups(dnum or len(self.moduli))
+        if len(ksk) != len(groups):
+            raise ValueError(
+                f"ksk has {len(ksk)} digits, expected {len(groups)}")
+        ext = self.mod_up(c, groups, qp)
+        out = []
+        for i, p in enumerate(qp.params):
+            dstack = jnp.stack([_u32(ext[j][i])
+                                for j in range(len(groups))])
+            kstack = jnp.stack([
+                jnp.broadcast_to(_u32(ksk[j][i]), dstack.shape[1:])
+                for j in range(len(groups))
+            ])
+            out.append(dispatch.best_nwc_dot(p)(dstack, kstack))
+        return self.mod_down(qp, out, len(special))
 
 
 def automorphism_tables(n: int, g: int):
