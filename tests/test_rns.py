@@ -423,3 +423,25 @@ def test_rns_ring_gadget_dot_int_list_keys_n128(rng=random.Random(50)):
     specs = ring.ksk_spectra(ksk, batch=1)
     got2 = ring.decode(ring.gadget_dot_cached(ring.encode(cs), specs))
     assert [int(v) for v in got2[0]] == acc
+
+
+def test_rns_ring_hybrid_key_switch_cached_matches_full(
+        rng=random.Random(51)):
+    """Cached-key hybrid variant is bit-identical to the full one."""
+    n = 128
+    B = 2
+    dnum = 2
+    ring = rns.RnsRing(n, channels=4)
+    special = rns.ntt_friendly_primes(n, 24, 1, below=min(ring.moduli))
+    qp = ring.extended(special)
+    cs = [[rng.randrange(ring.q) for _ in range(n)] for _ in range(B)]
+    groups = ring.digit_groups(dnum)
+    ksk = [qp.encode(np.array([[rng.randrange(qp.q) for _ in range(n)]],
+                              dtype=object).reshape(n))
+           for _ in groups]
+    rc = ring.encode(cs)
+    full = ring.hybrid_key_switch(rc, ksk, special, dnum=dnum)
+    specs = ring.hybrid_ksk_spectra(ksk, special, batch=B, dnum=dnum)
+    cached = ring.hybrid_key_switch_cached(rc, specs, special, dnum=dnum)
+    for f, c in zip(full, cached):
+        assert np.array_equal(np.asarray(f), np.asarray(c))

@@ -168,3 +168,28 @@ def test_rejects_mixed_width_basis():
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("ch",))
     with pytest.raises(ValueError, match="same-width"):
         ShardedRnsRing(mixed, mesh)
+
+
+def test_2d_mesh_channel_x_batch_parity(ring):
+    """Channel and data parallelism compose on a 2-D mesh: residues
+    sharded P('ch', 'b'), still zero collectives in the product, CRT
+    exit still one channel-axis all-reduce."""
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("ch", "b"))
+    sr = ShardedRnsRing(ring, mesh2, batch_axis="b")
+    rng = random.Random(55)
+    B2 = 8
+    a = _rand_mod(rng, ring.q, (B2, N))
+    b = _rand_mod(rng, ring.q, (B2, N))
+    A, Bx = sr.put(ring.encode(a)), sr.put(ring.encode(b))
+    assert A.sharding.spec == P("ch", "b")
+    C = sr.nwc_mult(A, Bx)
+    ref = ring.nwc_mult(ring.encode(a), ring.encode(b))
+    for got, want in zip(sr.get(C), ref):
+        assert np.array_equal(got, np.asarray(want))
+    hlo = jax.jit(sr._mult).lower(
+        sr.tabs, sr.scal, A, Bx).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute"):
+        assert op not in hlo
+    dec = ring.decode_words(np.asarray(sr.reconstruct_words(C)))
+    assert np.array_equal(dec, ring.decode(ref))

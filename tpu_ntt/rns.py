@@ -641,6 +641,45 @@ class RnsRing:
             out.append(dispatch.best_nwc_dot(p)(dstack, kstack))
         return self.mod_down(qp, out, len(special))
 
+    def hybrid_ksk_spectra(self, ksk, special: Sequence[int], batch: int,
+                           dnum: int | None = None) -> list:
+        """Cached spectra of a fixed hybrid key over the extended basis
+        (keys transform once at key-setup — the production shape)."""
+        import jax.numpy as jnp
+
+        qp = self.extended(special)
+        groups = self.digit_groups(dnum or len(self.moduli))
+        if len(ksk) != len(groups):
+            raise ValueError(
+                f"ksk has {len(ksk)} digits, expected {len(groups)}")
+        out = []
+        for i, p in enumerate(qp.params):
+            spec = dispatch.best_nwc_spectrum(p)
+            out.append(jnp.stack([
+                spec(jnp.broadcast_to(_u32(ksk[j][i]), (batch, self.n)))
+                for j in range(len(groups))
+            ]))
+        return out
+
+    def hybrid_key_switch_cached(self, c, ksk_specs, special: Sequence[int],
+                                 dnum: int | None = None) -> list:
+        """:meth:`hybrid_key_switch` against :meth:`hybrid_ksk_spectra`
+        output: dnum digit forwards + one inverse per extended channel
+        instead of 2·dnum+1 transforms."""
+        import jax.numpy as jnp
+
+        qp = self.extended(special)
+        qp._check_same_width()
+        groups = self.digit_groups(dnum or len(self.moduli))
+        ext = self.mod_up(c, groups, qp)
+        out = []
+        for i, p in enumerate(qp.params):
+            dstack = jnp.stack([_u32(ext[j][i])
+                                for j in range(len(groups))])
+            out.append(dispatch.best_nwc_dot_cached(p)(dstack,
+                                                       ksk_specs[i]))
+        return self.mod_down(qp, out, len(special))
+
 
 def automorphism_tables(n: int, g: int):
     """(src, neg) for the x -> x^g map on x^n + 1: out[t] = ±in[src[t]].

@@ -129,10 +129,12 @@ class ShardedRnsRing:
     (GSPMD pads uneven shards).
     """
 
-    def __init__(self, ring: RnsRing, mesh: Mesh, axis: str = "ch"):
+    def __init__(self, ring: RnsRing, mesh: Mesh, axis: str = "ch",
+                 batch_axis: str | None = None):
         self.ring = ring
         self.mesh = mesh
         self.axis = axis
+        self.batch_axis = batch_axis
         self.n = ring.n
         ks = {p.barrett_k for p in ring.params}
         if len(ks) != 1:
@@ -165,7 +167,13 @@ class ShardedRnsRing:
         # jit boundaries; an uneven channel count (e.g. a drop_last view)
         # falls back to replicated layout — correct, just not scaled.
         even = self.nch % mesh.shape[axis] == 0
-        self.spec = NamedSharding(mesh, P(axis) if even else P())
+        ch = axis if even else None
+        self.spec = NamedSharding(mesh, P(ch))
+        # residue DATA may additionally shard the batch axis (channel x
+        # data parallelism on a 2-D mesh): (k, B, n) -> P(ch, batch);
+        # every channel-local op stays collective-free over both axes
+        self.data_spec = (NamedSharding(mesh, P(ch, batch_axis))
+                          if batch_axis else self.spec)
         self.tabs = jax.device_put(stacked, self.spec)
         self.scal = jax.device_put(scal, self.spec)
 
@@ -174,7 +182,7 @@ class ShardedRnsRing:
         """Per-channel residue list (RnsRing.encode layout) -> stacked
         (k, ..., n) device array, channel axis sharded."""
         x = jnp.stack([jnp.asarray(r, dtype=jnp.uint32) for r in residues])
-        return jax.device_put(x, self.spec)
+        return jax.device_put(x, self.data_spec)
 
     def get(self, x) -> list:
         """Stacked residues -> host per-channel list (RnsRing layout)."""
@@ -291,7 +299,8 @@ class ShardedRnsRing:
         """The sharded view of the rescale target ring."""
         if getattr(self, "_drop_last", None) is None:
             self._drop_last = ShardedRnsRing(self.ring.drop_last(),
-                                             self.mesh, self.axis)
+                                             self.mesh, self.axis,
+                                             self.batch_axis)
         return self._drop_last
 
     # -- exact CRT exit (the one collective) ----------------------------------
