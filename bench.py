@@ -154,6 +154,8 @@ def main():
         bench_kyber(batch * 8, iters)
         bench_mldsa(batch * 4, iters)
         bench_rns_keyswitch(max(batch // 8, 32), iters)
+        bench_hybrid_keyswitch(max(batch // 32, 16), iters)
+        bench_sharded_rns(max(batch // 16, 32), iters)
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)
@@ -208,6 +210,59 @@ def bench_rns_keyswitch(batch, iters):
     log(f"  rns keyswitch n={n} 144-bit 6-digit [fused dots]: "
         f"batch={batch} {dt * 1e3:.3f} ms/iter -> "
         f"{batch / dt:,.0f} switches/s")
+    return batch / dt
+
+
+def bench_hybrid_keyswitch(batch, iters):
+    """Hybrid (dnum-grouped) key switch with cached keys: ModUp ->
+    fused digit dots over Q u P -> exact ModDown (rns.py)."""
+    from tpu_ntt import rns
+
+    n, dnum = 4096, 2
+    ring = rns.RnsRing(n, channels=6)
+    special = rns.ntt_friendly_primes(n, 24, 1, below=min(ring.moduli))
+    qp = ring.extended(special)
+    rng = np.random.default_rng(21)
+    res = tuple(jax.device_put(
+        rng.integers(0, m, size=(batch, n)).astype(np.uint32))
+        for m in ring.moduli)
+    groups = ring.digit_groups(dnum)
+    ksk = [[rng.integers(0, m, size=(n,)).astype(np.uint32)
+            for m in qp.moduli] for _ in groups]
+    specs = [jax.block_until_ready(s) for s in
+             ring.hybrid_ksk_spectra(ksk, special, batch=batch, dnum=dnum)]
+    fn = lambda state: tuple(ring.hybrid_key_switch_cached(
+        list(state), specs, special, dnum=dnum))
+    dt = device_seconds_per_iter(fn, res, iters=iters)
+    log(f"  rns hybrid keyswitch n={n} 144-bit dnum={dnum} P=1: "
+        f"batch={batch} {dt * 1e3:.3f} ms/iter -> "
+        f"{batch / dt:,.0f} switches/s")
+    return batch / dt
+
+
+def bench_sharded_rns(batch, iters):
+    """Channel-parallel sharded RNS product (rns_sharded.py): the
+    q-generic vmapped SPMD program on a 1-device mesh (honest
+    single-chip rate; value is the channel scale-out)."""
+    from jax.sharding import Mesh
+
+    from tpu_ntt import rns
+    from tpu_ntt.rns_sharded import ShardedRnsRing
+
+    n = 4096
+    ring = rns.RnsRing(n, channels=6)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("ch",))
+    sr = ShardedRnsRing(ring, mesh)
+    rng = np.random.default_rng(23)
+    a = sr.put([rng.integers(0, m, size=(batch, n)).astype(np.uint32)
+                for m in ring.moduli])
+    b = sr.put([rng.integers(0, m, size=(batch, n)).astype(np.uint32)
+                for m in ring.moduli])
+    fn = lambda x, y: sr._mult(sr.tabs, sr.scal, x, y)
+    dt = device_seconds_per_iter_binary(fn, a, b, iters=iters)
+    log(f"  sharded-rns nwc n={n} 144-bit 6ch [q-generic vmapped]: "
+        f"batch={batch} {dt * 1e3:.3f} ms/iter -> "
+        f"{batch / dt:,.0f} wide-products/s")
     return batch / dt
 
 
