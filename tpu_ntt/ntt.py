@@ -352,6 +352,65 @@ def nwc_poly_mult_merged(plan: NttPlan, a: Elem, b: Elem) -> Elem:
     return nwc_inv_merged(plan, plan.ring.mul(fa, fb))
 
 
+# ---------------------------------------------------------------------------
+# Ring inversion / division (NTRU-style keygen workload)
+# ---------------------------------------------------------------------------
+#
+# f is a unit of Z_q[x]/(x^n + 1) (q prime, 2n | q-1) iff every slot of its
+# negacyclic spectrum is nonzero, and then NTT(f^-1) is the slotwise field
+# inverse s^(q-2) (Fermat).  The exponentiation is a fixed square-and-
+# multiply chain of ring products — ~bitlen(q) squarings, fully batched and
+# jit-friendly (static chain, no data-dependent control flow).  This is the
+# f^-1 mod (x^n+1, q) step of NTRU/Falcon key generation — a workload the
+# reference's fixed FSM pipeline has no entry point for (its rtl computes
+# products only), but which falls out of the spectrum representation.
+
+
+def _spectrum_pow(ring, s: Elem, e: int) -> Elem:
+    """Slotwise s^e via MSB-first binary square-and-multiply (e >= 1)."""
+    bits = bin(e)[2:]
+    acc = s
+    for b in bits[1:]:
+        acc = ring.mul(acc, acc)
+        if b == "1":
+            acc = ring.mul(acc, s)
+    return acc
+
+
+def _slot_nonzero(x: Elem):
+    if isinstance(x, tuple):  # (hi, lo) pair layout
+        return (x[0] | x[1]) != 0
+    return jnp.asarray(x) != 0
+
+
+def nwc_poly_inverse(plan: NttPlan, x: Elem, return_ok: bool = False):
+    """Multiplicative inverse of x in Z_q[x]/(x^n + 1).
+
+    Returns g with x ⊛ g = 1 when x is invertible.  With
+    ``return_ok=True`` also returns a (batch-shaped) bool array that is
+    True exactly where x is a unit (all spectrum slots nonzero); where it
+    is False the returned coefficients are meaningless (a zero slot
+    powers to zero — no error can be raised under jit).  Cost: one
+    forward + one inverse transform + ~2·bitlen(q) pointwise products."""
+    s = nwc_fwd_merged(plan, x)
+    inv = _spectrum_pow(plan.ring, s, plan.p.q - 2)
+    g = nwc_inv_merged(plan, inv)
+    if not return_ok:
+        return g
+    ok = jnp.all(_slot_nonzero(s), axis=-1)
+    return g, ok
+
+
+def nwc_poly_div(plan: NttPlan, a: Elem, b: Elem) -> Elem:
+    """a ⊛ b^-1 in Z_q[x]/(x^n + 1) (b must be a unit; see
+    nwc_poly_inverse).  One transform each + the inversion chain."""
+    fa = nwc_fwd_merged(plan, a)
+    fb = nwc_fwd_merged(plan, b)
+    return nwc_inv_merged(
+        plan, plan.ring.mul(fa, _spectrum_pow(plan.ring, fb, plan.p.q - 2))
+    )
+
+
 _JIT_CACHE: dict = {}
 
 
