@@ -1,0 +1,293 @@
+"""BGV leveled-HE tests (tpu_ntt/fhe.py) — the end-to-end scheme built on
+the RnsRing FHE ops.
+
+Everything asserts BIT-EQUALITY: the construction is exact (exact ModUp,
+t-preserving exact ModDown/modswitch), so homomorphic results must equal
+the plaintext-ring oracle (reference.schoolbook_negacyclic mod t) exactly,
+not approximately.  n=64 keeps the XLA path fast; one n=256 case exercises
+the fused-kernel channel backends.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_ntt.fhe import BgvContext
+from tpu_ntt.reference import schoolbook_negacyclic
+from tpu_ntt.rns import RnsRing, automorphism_tables
+
+
+def _ctx(n=64, t=256, **kw):
+    return BgvContext(n, t, **kw)
+
+
+def _oracle_mul(m1, m2, t):
+    return np.array(schoolbook_negacyclic(list(m1), list(m2), t))
+
+
+# ---------------------------------------------------------------------------
+# rescale_mod_t: the BGV modulus-switch core (exact big-int contract)
+# ---------------------------------------------------------------------------
+
+def test_rescale_mod_t_exact_formula():
+    """c' = (c - eps)/p_k with eps ≡ c (mod p_k), eps ≡ 0 (mod t),
+    |eps| <= p_k*(t+1)/2 — checked coefficientwise in big-int."""
+    rng = np.random.default_rng(3)
+    n, t = 64, 256
+    ring = RnsRing(n, channels=4)
+    pk = ring.moduli[-1]
+    x = [rng.integers(0, p, (2, n), dtype=np.int64).astype(np.uint32)
+         for p in ring.moduli]
+    c = ring.decode(x)
+    out = ring.rescale_mod_t(x, t)
+    c_out = ring.drop_last().decode(out)
+    qd = ring.drop_last().q
+    for ci, oi in zip(c.reshape(-1), c_out.reshape(-1)):
+        ci, oi = int(ci), int(oi)
+        # reconstruct eps from the output: p_k * c' ≡ c - eps (mod Q')
+        eps = (ci - pk * oi) % (pk * qd)
+        if eps > pk * qd // 2:
+            eps -= pk * qd
+        assert eps % t == 0
+        assert eps % pk == ci % pk
+        assert abs(eps) <= pk * (t + 1) // 2 + pk
+
+
+def test_rescale_mod_t_validation():
+    ring = RnsRing(64, channels=3)
+    x = [np.zeros((1, 64), np.uint32) for _ in ring.moduli]
+    with pytest.raises(ValueError):
+        ring.rescale_mod_t(x, 1)
+    with pytest.raises(ValueError):
+        ring.rescale_mod_t(x, 1 << 23)  # not below every prime
+
+
+# ---------------------------------------------------------------------------
+# scheme basics
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("t", [256, 65537])
+def test_encrypt_decrypt_roundtrip(t):
+    rng = np.random.default_rng(5)
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m = rng.integers(0, t, ctx.n)
+    ct = ctx.encrypt(pk, m, rng)
+    assert np.array_equal(ctx.decrypt(sk, ct)[0], m % t)
+    assert ctx.noise_budget(sk, ct) > 40
+
+
+def test_homomorphic_add_sub_scalar():
+    rng = np.random.default_rng(7)
+    t = 256
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    c1, c2 = ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng)
+    assert np.array_equal(ctx.decrypt(sk, ctx.add(c1, c2))[0],
+                          (m1 + m2) % t)
+    assert np.array_equal(ctx.decrypt(sk, ctx.sub(c1, c2))[0],
+                          (m1 - m2) % t)
+    assert np.array_equal(ctx.decrypt(sk, ctx.mul_scalar(c1, 77))[0],
+                          m1 * 77 % t)
+
+
+def test_homomorphic_mul_degree2_and_relin():
+    rng = np.random.default_rng(9)
+    t = 256
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    oracle = _oracle_mul(m1, m2, t)
+    cm = ctx.mul(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng))
+    assert cm.degree == 2
+    assert np.array_equal(ctx.decrypt(sk, cm)[0], oracle)
+    rlk = ctx.relin_key(sk, rng)
+    cr = ctx.relinearize(cm, rlk)
+    assert cr.degree == 1
+    assert np.array_equal(ctx.decrypt(sk, cr)[0], oracle)
+
+
+@pytest.mark.parametrize("dnum", [1, 2, None])
+def test_relin_dnum_grouping(dnum):
+    """Every digit-group count must give the exact same product."""
+    rng = np.random.default_rng(13)
+    t = 256
+    ctx = _ctx(t=t, channels=4, dnum=dnum)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    rlk = ctx.relin_key(sk, rng)
+    cr = ctx.mul_relin(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng),
+                       rlk)
+    assert np.array_equal(ctx.decrypt(sk, cr)[0], _oracle_mul(m1, m2, t))
+
+
+def test_mod_switch_factor_tracking():
+    rng = np.random.default_rng(15)
+    t = 65537  # primes are NOT ≡ 1 mod t: the factor is nontrivial
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m = rng.integers(0, t, ctx.n)
+    ct = ctx.mod_switch(ctx.encrypt(pk, m, rng))
+    assert len(ct.ring.moduli) == len(ctx.ring.moduli) - 1
+    assert ct.factor == pow(ctx.ring.moduli[-1], -1, t)
+    assert np.array_equal(ctx.decrypt(sk, ct)[0], m % t)
+
+
+def test_add_with_mismatched_factors():
+    """add() must scalar-correct operands whose plaintext factors differ
+    (a ciphertext scaled by w with factor w decrypts to the same m)."""
+    rng = np.random.default_rng(17)
+    t = 65537
+    ctx = _ctx(t=t, channels=4)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    c1 = ctx.encrypt(pk, m1, rng)  # factor 1
+    w = 12345
+    c2 = ctx.mul_scalar(ctx.encrypt(pk, m2, rng), w)
+    c2.factor = w  # phase ≡ w*m2: still decrypts to m2 under factor w
+    assert np.array_equal(ctx.decrypt(sk, c2)[0], m2 % t)
+    assert c1.factor != c2.factor
+    got = ctx.decrypt(sk, ctx.add(c1, c2))[0]
+    assert np.array_equal(got, (m1 + m2) % t)
+
+
+def test_depth2_chain_with_switching():
+    rng = np.random.default_rng(19)
+    t = 256
+    ctx = _ctx(t=t, channels=5)
+    sk, pk = ctx.keygen(rng)
+    m = [rng.integers(0, t, ctx.n) for _ in range(3)]
+    rlk = ctx.relin_key(sk, rng)
+    c01 = ctx.mod_switch(ctx.mul_relin(
+        ctx.encrypt(pk, m[0], rng), ctx.encrypt(pk, m[1], rng), rlk))
+    rlk2 = ctx.relin_key(sk, rng, c01.ring)
+    out = ctx.mul_relin(c01, ctx.mod_switch(ctx.encrypt(pk, m[2], rng)),
+                        rlk2)
+    oracle = _oracle_mul(_oracle_mul(m[0], m[1], t), m[2], t)
+    assert np.array_equal(ctx.decrypt(sk, out)[0], oracle)
+    assert ctx.noise_budget(sk, out) > 0
+
+
+def test_galois_rotation():
+    rng = np.random.default_rng(21)
+    t = 256
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m = rng.integers(0, t, ctx.n)
+    for g in (5, 2 * ctx.n - 1):  # rotation generator and conjugation
+        gk = ctx.galois_key(sk, g, rng)
+        cg = ctx.apply_galois(ctx.encrypt(pk, m, rng), g, gk)
+        src, neg = automorphism_tables(ctx.n, g)
+        exp = np.where(neg, (-m[src]) % t, m[src] % t)
+        assert np.array_equal(ctx.decrypt(sk, cg)[0], exp)
+
+
+def test_plain_ops():
+    rng = np.random.default_rng(23)
+    t = 256
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    c1 = ctx.encrypt(pk, m1, rng)
+    assert np.array_equal(ctx.decrypt(sk, ctx.add_plain(c1, m2))[0],
+                          (m1 + m2) % t)
+    assert np.array_equal(ctx.decrypt(sk, ctx.mul_plain(c1, m2))[0],
+                          _oracle_mul(m1, m2, t))
+    # add_plain must respect a nontrivial factor
+    cs = ctx.mod_switch(c1)
+    assert np.array_equal(ctx.decrypt(sk, ctx.add_plain(cs, m2))[0],
+                          (m1 + m2) % t)
+
+
+def test_batched_ciphertexts():
+    rng = np.random.default_rng(25)
+    t = 256
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    B = 3
+    m1 = rng.integers(0, t, (B, ctx.n))
+    m2 = rng.integers(0, t, (B, ctx.n))
+    rlk = ctx.relin_key(sk, rng)
+    out = ctx.decrypt(sk, ctx.mul_relin(
+        ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng), rlk))
+    for i in range(B):
+        assert np.array_equal(out[i], _oracle_mul(m1[i], m2[i], t))
+
+
+def test_simd_slot_packing():
+    """t = 65537 ≡ 1 (mod 2n): R_t splits into n slots under the merged
+    NWC transform at q = t; one ciphertext product = n parallel Z_t
+    multiplications."""
+    rng = np.random.default_rng(27)
+    t = 65537
+    ctx = _ctx(t=t)
+    sk, pk = ctx.keygen(rng)
+    v1 = rng.integers(0, t, ctx.n)
+    v2 = rng.integers(0, t, ctx.n)
+    # encode/decode roundtrip
+    assert np.array_equal(ctx.slot_decode(ctx.slot_encode(v1)), v1)
+    rlk = ctx.relin_key(sk, rng)
+    prod = ctx.mul_relin(
+        ctx.encrypt(pk, ctx.slot_encode(v1), rng),
+        ctx.encrypt(pk, ctx.slot_encode(v2), rng), rlk)
+    slots = ctx.slot_decode(ctx.decrypt(sk, prod)[0])
+    assert np.array_equal(slots, v1 * v2 % t)
+
+
+def test_slot_packing_unavailable():
+    ctx = _ctx(t=256)  # 256 is not prime
+    with pytest.raises(ValueError):
+        ctx.slot_encode(np.zeros(ctx.n, np.int64))
+
+
+def test_two_special_primes():
+    rng = np.random.default_rng(29)
+    t = 256
+    ctx = _ctx(t=t, channels=4, num_special=2, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, ctx.n)
+    m2 = rng.integers(0, t, ctx.n)
+    rlk = ctx.relin_key(sk, rng)
+    cr = ctx.mul_relin(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng),
+                       rlk)
+    assert np.array_equal(ctx.decrypt(sk, cr)[0], _oracle_mul(m1, m2, t))
+
+
+def test_kernel_path_n256():
+    """n = 256 routes the 24-bit channels onto the fused MXU kernels
+    (interpret mode on CPU) — the production backend shape."""
+    rng = np.random.default_rng(31)
+    t = 256
+    ctx = _ctx(n=256, t=t, channels=3)
+    sk, pk = ctx.keygen(rng)
+    m1 = rng.integers(0, t, 256)
+    m2 = rng.integers(0, t, 256)
+    rlk = ctx.relin_key(sk, rng)
+    cr = ctx.mul_relin(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng),
+                       rlk)
+    assert np.array_equal(ctx.decrypt(sk, cr)[0], _oracle_mul(m1, m2, t))
+
+
+def test_validation_errors():
+    rng = np.random.default_rng(33)
+    ctx = _ctx(t=256)
+    sk, pk = ctx.keygen(rng)
+    m = rng.integers(0, 256, ctx.n)
+    c = ctx.encrypt(pk, m, rng)
+    with pytest.raises(ValueError):
+        ctx.relinearize(c, ctx.relin_key(sk, rng))  # degree 1
+    cm = ctx.mul(c, ctx.encrypt(pk, m, rng))
+    with pytest.raises(ValueError):
+        ctx.mul(cm, c)  # degree 2 operand
+    cs = ctx.mod_switch(c)
+    with pytest.raises(ValueError):
+        ctx.add(cs, c)  # level mismatch
+    rlk = ctx.relin_key(sk, rng)
+    cm2 = ctx.mul(ctx.mod_switch(c), ctx.mod_switch(c))
+    with pytest.raises(ValueError):
+        ctx.relinearize(cm2, rlk)  # key at wrong level

@@ -420,6 +420,92 @@ class RnsRing:
                                      p.barrett_k, p.barrett_mu))
         return out
 
+    def rescale_mod_t(self, residues, t: int) -> list:
+        """BGV modulus switching core: exact division by the last prime
+        that preserves the value MODULO the plaintext modulus t.
+
+        :meth:`rescale` computes floor(c / p_k) — its implicit rounding
+        term [c]_{p_k} is arbitrary mod t, which would corrupt a BGV
+        plaintext (m lives in the mod-t residue of the phase).  The BGV
+        correction (Brakerski–Gentry–Vaikuntanathan modulus switching,
+        the operation HElib/SEAL perform between levels) instead
+        subtracts the UNIQUE small eps with
+
+            eps ≡ c (mod p_k),   eps ≡ 0 (mod t),   |eps| <= p_k*(t+1)/2
+
+        so c' = (c - eps) / p_k is an exact integer with
+        p_k * c' ≡ c (mod t), i.e. the plaintext picks up exactly the
+        tracked factor p_k^{-1} mod t (identity when p_k ≡ 1 mod t — the
+        classic prime-selection trick; tpu_ntt's NTT primes satisfy
+        p ≡ 1 mod 2n, so any t | 2n gets the identity for free).
+
+        Derivation of the device form: with delta = [c]_{p_k} in
+        [0, p_k), b = (delta > p_k/2), centered delta_c = delta - b*p_k,
+        and m = [delta_c * p_k^{-1}]_t centered to m_c in (-t/2, t/2],
+        eps = delta_c - p_k*m_c = delta - p_k*w with the small signed
+        integer w = b + m - t*(m > t/2) in (-t/2, t/2 + 1].  Everything
+        reduces per remaining channel with one Barrett multiply on the
+        split w = w_pos - w_neg (both in [0, t) — no signed arithmetic
+        touches the device).  Requires t < min(p_i) and t <= 65537 (the
+        mod-t products are done in one 32x32 mul32; its high word is
+        then <= 1).  Exactness is asserted against the big-int formula
+        in tests/test_fhe.py."""
+        import jax.numpy as jnp
+
+        from .modmath import add_mod32, barrett_mul32, mul32, sub_mod32
+
+        self._check_same_width()
+        if not 2 <= t <= 65537:
+            raise ValueError(f"plaintext modulus t must be in [2, 65537], got {t}")
+        if t >= min(self.moduli):
+            raise ValueError("t must be smaller than every RNS prime")
+        pk = self.moduli[-1]
+        if pk % t == 0:
+            raise ValueError("t must be coprime to the dropped prime")
+        ck = _u32(residues[-1])
+        b = (ck > np.uint32(pk // 2)).astype(jnp.uint32)
+        # delta_c mod t, as a nonnegative residue
+        d_t = ck % np.uint32(t)
+        d_t = (d_t + np.uint32(t) - (np.uint32(pk % t) * b) % np.uint32(t)) \
+            % np.uint32(t)
+        inv_pk_t = pow(pk, -1, t)
+        hi, lo = mul32(d_t, jnp.full_like(d_t, inv_pk_t))
+        # both operands < 65538 so hi <= 1; fold 2^32 mod t exactly
+        m = (hi * np.uint32((1 << 32) % t) + lo % np.uint32(t)) \
+            % np.uint32(t)
+        bm = (m > np.uint32(t // 2)).astype(jnp.uint32)
+        # w = b + m - t*bm in (-t/2, t/2+1], split into nonneg halves < t
+        w_pos = jnp.where(bm == 0, b + m, jnp.uint32(0))
+        w_neg = jnp.where(bm == 1, np.uint32(t) - m - b, jnp.uint32(0))
+        out = []
+        for p, r in zip(self.params[:-1], residues[:-1]):
+            pk_i = pk % p.q
+            ck_i = jnp.where(ck >= p.q, ck - np.uint32(p.q), ck)
+            t_pos = barrett_mul32(jnp.full_like(ck, pk_i), w_pos, p.q,
+                                  p.barrett_k, p.barrett_mu)
+            t_neg = barrett_mul32(jnp.full_like(ck, pk_i), w_neg, p.q,
+                                  p.barrett_k, p.barrett_mu)
+            eps_i = add_mod32(sub_mod32(ck_i, t_pos, p.q), t_neg, p.q)
+            d = sub_mod32(_u32(r), eps_i, p.q)
+            inv = pow(pk % p.q, -1, p.q)
+            out.append(barrett_mul32(d, jnp.full_like(d, inv), p.q,
+                                     p.barrett_k, p.barrett_mu))
+        return out
+
+    def mod_down_mod_t(self, qp: "RnsRing", residues, num_special: int,
+                       t: int) -> list:
+        """BGV ModDown: t-preserving exact division by the product of the
+        last ``num_special`` channels (the :meth:`rescale_mod_t`
+        iteration).  Because each step's eps is ≡ 0 (mod t), the result
+        satisfies P * c' ≡ c (mod t) — exactly what hybrid key switching
+        needs so the P factor baked into the key cancels without
+        perturbing the plaintext (see tpu_ntt/fhe.py)."""
+        r, res = qp, residues
+        for _ in range(num_special):
+            res = r.rescale_mod_t(res, t)
+            r = r.drop_last()
+        return res
+
     def automorphism(self, residues, g: int) -> list:
         """Galois automorphism x -> x^g on Z_q[x]/(x^n + 1) coefficients
         (the FHE rotation/conjugation map; g odd — every odd g is a unit
