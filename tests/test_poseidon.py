@@ -1,0 +1,117 @@
+"""Poseidon2-GL sponge + Merkle tests: the device path must match the
+independent pure-big-int model (PoseidonRef) lane for lane."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt.poseidon import (M4, Poseidon2GL, PoseidonRef, Q, digest_ints,
+                              default_constants, from_pairs, merkle_levels,
+                              merkle_root, to_pairs)
+
+
+@pytest.fixture(scope="module")
+def hasher():
+    return Poseidon2GL()
+
+
+def _lane(pair, b):
+    return int((np.uint64(np.asarray(pair[0])[b]) << np.uint64(32))
+               | np.uint64(np.asarray(pair[1])[b]))
+
+
+def test_m4_schedule_matches_matrix():
+    """The addition schedule in _m4_block/_m4 must BE the Poseidon2 M4."""
+    ref = PoseidonRef()
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = [int(v) for v in rng.integers(0, Q, 4, dtype=np.uint64)]
+        direct = [sum(int(M4[i][j]) * x[j] for j in range(4)) % Q
+                  for i in range(4)]
+        assert ref._m4(x) == direct
+
+
+def test_constants_deterministic_and_in_field():
+    rcs, diag = default_constants(8, 8, 22)
+    rcs2, diag2 = default_constants(8, 8, 22)
+    assert rcs == rcs2 and diag == diag2
+    assert len(rcs) == 8 + 22 and len(diag) == 8
+    flat = [c for rc in rcs for c in rc] + list(diag)
+    assert all(0 <= c < Q for c in flat)
+    assert len(set(flat)) == len(flat)  # no collisions
+
+
+def test_device_permute_matches_reference(hasher):
+    rng = np.random.default_rng(1)
+    B = 7
+    state_ints = rng.integers(0, Q, (8, B), dtype=np.uint64)
+    out = hasher.permute([to_pairs(state_ints[i]) for i in range(8)])
+    for b in range(B):
+        exp = hasher.ref.permute([int(state_ints[i, b]) for i in range(8)])
+        assert [_lane(o, b) for o in out] == exp
+
+
+def test_permute_boundary_states(hasher):
+    for fill in (0, 1, Q - 1):
+        state_ints = np.full((8, 2), fill, dtype=np.uint64)
+        out = hasher.permute([to_pairs(state_ints[i]) for i in range(8)])
+        exp = hasher.ref.permute([fill] * 8)
+        assert [_lane(o, 0) for o in out] == exp
+        assert [_lane(o, 1) for o in out] == exp
+
+
+@pytest.mark.parametrize("L", [1, 4, 5, 11, 16])
+def test_hash_rows_matches_reference(hasher, L):
+    rng = np.random.default_rng(L)
+    B = 3
+    rows = rng.integers(0, Q, (B, L), dtype=np.uint64)
+    dig = hasher.hash_rows(to_pairs(rows))
+    for b in range(B):
+        exp = hasher.ref.hash_elements([int(v) for v in rows[b]])
+        assert [_lane(d, b) for d in dig] == exp
+
+
+def test_hash_length_domain_separation(hasher):
+    """[x, 0] and [x] must hash differently (length in capacity)."""
+    x = 12345
+    one = hasher.ref.hash_elements([x])
+    two = hasher.ref.hash_elements([x, 0])
+    assert one != two
+
+
+def test_merkle_root_matches_reference(hasher):
+    rng = np.random.default_rng(5)
+    N = 16
+    leaves_ints = rng.integers(0, Q, (N, 4), dtype=np.uint64)
+    leaves = [to_pairs(leaves_ints[:, i]) for i in range(4)]
+    ref = hasher.ref
+
+    def node(i, lvl):
+        if lvl == 0:
+            return [int(v) for v in leaves_ints[i]]
+        return ref.compress(node(2 * i, lvl - 1), node(2 * i + 1, lvl - 1))
+
+    levels = merkle_levels(hasher, leaves)
+    assert len(levels) == 5
+    assert digest_ints(merkle_root(hasher, leaves)) == node(0, 4)
+    # every intermediate level too
+    for lvl in range(5):
+        for i in range(N >> lvl):
+            got = [_lane(d, i) for d in levels[lvl]]
+            assert got == node(i, lvl)
+
+
+def test_merkle_validates_leaf_count(hasher):
+    leaves = [to_pairs(np.arange(3, dtype=np.uint64)) for _ in range(4)]
+    with pytest.raises(ValueError):
+        merkle_levels(hasher, leaves)
+
+
+def test_pair_helpers_roundtrip():
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, Q, 10, dtype=np.uint64)
+    assert np.array_equal(from_pairs(to_pairs(v)), v)
+
+
+def test_width_validation():
+    with pytest.raises(ValueError):
+        Poseidon2GL(width=6)

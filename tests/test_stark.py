@@ -114,3 +114,116 @@ def test_interpolate_roundtrip_goldilocks(rng=random.Random(85)):
     coeffs = [rng.randrange(GOLDILOCKS_Q) for _ in range(64)]
     back = plan.decode(plan.interpolate(plan.extend(plan.encode([coeffs]))))
     assert [int(v) for v in back[0]] == coeffs + [0] * (plan.N - 64)
+
+
+# ---------------------------------------------------------------------------
+# FRI (fold + prove/verify)
+# ---------------------------------------------------------------------------
+
+from tpu_ntt.stark import (FriProver, fri_fold, fri_fold_tables,  # noqa: E402
+                           fri_verify)
+
+
+def _fold_oracle(vals, beta, q, g, w):
+    """Big-int fold of a BIT-REVERSED layer: out[i] (bitrev order of the
+    squared half domain) from adjacent pairs."""
+    m = len(vals) // 2
+    bits = m.bit_length() - 1
+    half = pow(2, -1, q)
+    out = []
+    for i in range(m):
+        a, b = vals[2 * i], vals[2 * i + 1]
+        e = int(f"{i:0{bits}b}"[::-1], 2) if bits else 0
+        inv_x = pow(g * pow(w, e, q) % q, -1, q)
+        out.append((half * (a + b) + beta * half % q * inv_x % q
+                    * (a - b)) % q)
+    return out
+
+
+@pytest.mark.parametrize("n,q,blowup", CASES)
+def test_fri_fold_matches_bigint_oracle(n, q, blowup):
+    """The device fold is ring-generic: check one layer on every ring
+    family (24-bit Shoup, Goldilocks, 60-bit pairs)."""
+    rng = random.Random(7)
+    plan = LdePlan(n, q, blowup, order="bitrev")
+    tables, domains = fri_fold_tables(plan, plan.N // 4)
+    vals = [rng.randrange(q) for _ in range(plan.N)]
+    vals[:3] = [0, 1, q - 1]
+    beta = rng.randrange(q)
+    enc = plan.big.encode(np.asarray([vals], dtype=object))
+    out = plan.big.decode(fri_fold(plan, enc, beta, tables[0]))[0]
+    g, w, _ = domains[0]
+    assert [int(v) for v in out] == _fold_oracle(vals, beta, q, g, w)
+
+
+@pytest.fixture(scope="module")
+def gl_proof():
+    rng = np.random.default_rng(42)
+    n, blowup = 32, 4
+    plan = LdePlan(n, GOLDILOCKS_Q, blowup, order="bitrev")
+    coeffs = [int(v) for v in
+              rng.integers(0, GOLDILOCKS_Q, n, dtype=np.uint64)]
+    evals = plan.extend(plan.encode([coeffs]))
+    vals = (np.asarray(evals[0])[0], np.asarray(evals[1])[0])
+    prover = FriProver(plan, final_size=16, num_queries=6)
+    return plan, prover, prover.prove(vals), rng
+
+
+def test_fri_honest_proof_verifies(gl_proof):
+    plan, prover, proof, _ = gl_proof
+    assert len(proof["roots"]) == 3  # 128 -> 64 -> 32 -> 16
+    assert len(proof["final"]) == 16
+    assert len(proof["queries"]) == 6
+    assert fri_verify(plan, proof)
+
+
+def test_fri_rejects_tampered_value(gl_proof):
+    import copy
+
+    plan, prover, proof, _ = gl_proof
+    bad = copy.deepcopy(proof)
+    a, b = bad["queries"][0][1]["pair"]
+    bad["queries"][0][1]["pair"] = (a ^ 1, b)
+    assert not fri_verify(plan, bad)
+
+
+def test_fri_rejects_tampered_path(gl_proof):
+    import copy
+
+    plan, prover, proof, _ = gl_proof
+    bad = copy.deepcopy(proof)
+    bad["queries"][2][0]["path"][0][0] ^= 1
+    assert not fri_verify(plan, bad)
+
+
+def test_fri_rejects_tampered_root(gl_proof):
+    import copy
+
+    plan, prover, proof, _ = gl_proof
+    bad = copy.deepcopy(proof)
+    bad["roots"][0][0] ^= 1
+    assert not fri_verify(plan, bad)
+
+
+def test_fri_rejects_high_degree_word(gl_proof):
+    """A random word is far from every low-degree codeword: the final
+    layer cannot interpolate below the degree bound."""
+    plan, prover, proof, rng = gl_proof
+    from tpu_ntt.poseidon import to_pairs
+
+    rand = to_pairs(rng.integers(0, GOLDILOCKS_Q, plan.N,
+                                 dtype=np.uint64))
+    bad = prover.prove((np.asarray(rand[0]), np.asarray(rand[1])))
+    assert not fri_verify(plan, bad)
+
+
+def test_fri_validation():
+    plan_nat = LdePlan(32, GOLDILOCKS_Q, 4, order="natural")
+    with pytest.raises(ValueError):
+        FriProver(plan_nat)
+    plan = LdePlan(32, GOLDILOCKS_Q, 4, order="bitrev")
+    with pytest.raises(ValueError):
+        FriProver(plan, final_size=4)  # < 2*blowup
+    plan24 = LdePlan(32, 8380417, 4, order="bitrev")
+    with pytest.raises(ValueError):
+        FriProver(plan24)  # prove/verify is Goldilocks-only

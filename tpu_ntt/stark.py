@@ -146,3 +146,269 @@ class LdePlan:
             [int(f"{t:0{lg}b}"[::-1], 2) for t in range(self.N)],
             dtype=np.int64,
         )
+
+
+# ---------------------------------------------------------------------------
+# FRI low-degree proofs (commit phase on device, verifier independent)
+# ---------------------------------------------------------------------------
+#
+# The LDE above produces the Reed–Solomon codeword a STARK prover commits
+# to; FRI (Fast Reed–Solomon IOP of proximity) is the protocol that PROVES
+# the committed word is low-degree.  Its commit phase is exactly this
+# framework's kind of workload: log2(N) rounds of an elementwise fold over
+# the evaluation domain
+#
+#     f'(x^2) = (f(x) + f(-x))/2 + beta * (f(x) - f(-x))/(2x)
+#
+# plus a Merkle commitment of each layer (poseidon.py's batched
+# Poseidon2-GL sponge).  In BIT-REVERSED evaluation order — the order the
+# no-gather LDE already emits — f(x) and f(-x) sit in ADJACENT slots, the
+# fold is a pairwise reduction with a precomputed 1/(2x) table, and the
+# output lands in bit-reversed order of the squared half-size domain: no
+# gathers anywhere (the same reason DESIGN.md §2.1 picks the DIF form).
+#
+# The fold is ring-generic (`fri_fold_tables`/`fri_fold`); the
+# prove/verify pair is Goldilocks (the field STARK ecosystems and
+# poseidon.py standardize on).  The verifier (`fri_verify`) is
+# INDEPENDENT: pure big-int arithmetic + the PoseidonRef model, so a
+# passing proof cross-checks the device fold and device hashes end to end.
+
+
+def _bitrev_index(i: int, bits: int) -> int:
+    return int(f"{i:0{bits}b}"[::-1], 2) if bits else 0
+
+
+def fri_fold_tables(lde: LdePlan, final_size: int):
+    """Per-layer twiddle tables u_i = 1/(2 * g_l * w_l^{br(i)}) in the
+    bit-reversed output order (encoded for the plan ring's mul_tw), plus
+    the (g_l, w_l) layer domains for the verifier."""
+    q = lde.big.p.q
+    omega = lde.big.p.omega
+    half = pow(2, -1, q)
+    tables, domains = [], []
+    size, g, w = lde.N, lde.shift, omega
+    while size > final_size:
+        m = size // 2
+        bits = m.bit_length() - 1
+        inv_g = pow(g, -1, q)
+        inv_w = pow(w, -1, q)
+        nat = np.empty(m, dtype=object)
+        acc = half * inv_g % q
+        for e in range(m):
+            nat[e] = acc
+            acc = acc * inv_w % q
+        table = [nat[_bitrev_index(i, bits)] for i in range(m)]
+        tables.append(lde.ring.encode_tw(table))
+        domains.append((g, w, size))
+        size, g, w = m, g * g % q, w * w % q
+    domains.append((g, w, size))
+    return tables, domains
+
+
+def fri_fold(lde: LdePlan, values, beta: int, table):
+    """One fold layer: (..., 2m) bit-reversed values -> (..., m) over the
+    squared domain (still bit-reversed).  beta is the host-side
+    Fiat–Shamir challenge, passed to the compiled program as data (the
+    per-layer jit cache is keyed by shape only, so every round reuses
+    log2(N) small compiled programs no matter what the challenges are)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import ntt as _ntt
+
+    ring = lde.ring
+    fold_j = getattr(lde, "_fri_fold_j", None)
+    if fold_j is None:
+        def _fold(v, tw, half_tw, beta_tw):
+            a = _ntt._tmap(lambda x: x[..., 0::2], v)
+            b = _ntt._tmap(lambda x: x[..., 1::2], v)
+            s = ring.add(a, b)
+            d = ring.sub(a, b)
+            return ring.add(ring.mul_tw(s, half_tw),
+                            ring.mul_tw(ring.mul_tw(d, tw), beta_tw))
+
+        fold_j = lde._fri_fold_j = jax.jit(_fold)
+    v = _ntt._tmap(jnp.asarray, values)
+    tw = _ntt._tmap(jnp.asarray, table)
+    half_tw = _ntt._tmap(jnp.asarray,
+                         ring.encode_tw([pow(2, -1, lde.big.p.q)]))
+    beta_tw = _ntt._tmap(jnp.asarray,
+                         ring.encode_tw([beta % lde.big.p.q]))
+    return fold_j(v, tw, half_tw, beta_tw)
+
+
+class FriProver:
+    """FRI commit + query phases over a Goldilocks LDE codeword.
+
+    ``prove(values)`` takes the bit-reversed codeword ((hi, lo) pairs,
+    shape (N,)), runs the fold/commit cascade on device, and returns a
+    host proof dict: layer Merkle roots, the final (trivially-checkable)
+    codeword, and ``num_queries`` authenticated query paths.  Challenges
+    and query positions are Fiat–Shamir-derived from the roots through
+    the same Poseidon2 permutation (so the proof is non-interactive and
+    self-contained)."""
+
+    def __init__(self, lde: LdePlan, final_size: int = 8,
+                 num_queries: int = 16):
+        from .modmath import GOLDILOCKS_Q
+
+        if lde.big.p.q != GOLDILOCKS_Q:
+            raise ValueError("FRI prove/verify is defined over the "
+                             "Goldilocks field (fold alone is ring-generic)")
+        if lde.order != "bitrev":
+            raise ValueError("FRI consumes the bit-reversed LDE order")
+        if final_size < 2 * lde.blowup or final_size & (final_size - 1):
+            raise ValueError("final_size must be a power of two >= "
+                             "2*blowup (so the degree check is nontrivial)")
+        from .poseidon import Poseidon2GL
+
+        self.lde = lde
+        self.final_size = final_size
+        self.num_queries = num_queries
+        self.hasher = Poseidon2GL()
+        self.tables, self.domains = fri_fold_tables(lde, final_size)
+
+    # -- Fiat–Shamir (host, via the reference permutation) ------------------
+    def _absorb(self, state, elems):
+        ref = self.hasher.ref
+        padded = (list(elems) + [0, 0, 0, 0])[:4]
+        return ref.permute(list(state) + padded)[:4]
+
+    def prove(self, values) -> dict:
+        import jax.numpy as jnp
+
+        from . import ntt as _ntt
+        from .poseidon import digest_ints, from_pairs, merkle_levels
+
+        v = _ntt._tmap(jnp.asarray, values)
+        roots, betas = [], []
+        layer_values, layer_levels = [], []
+        transcript = [0, 0, 0, 0]
+        for table in self.tables:
+            hi, lo = v
+            pairs = (jnp.stack([hi[0::2], hi[1::2]], axis=-1),
+                     jnp.stack([lo[0::2], lo[1::2]], axis=-1))
+            digests = self.hasher.hash_rows_j(pairs)
+            levels = merkle_levels(self.hasher, digests)
+            root = digest_ints(levels[-1])
+            roots.append(root)
+            layer_values.append((np.asarray(hi), np.asarray(lo)))
+            layer_levels.append([
+                [np.asarray(d[0]) for d in lvl] +
+                [np.asarray(d[1]) for d in lvl] for lvl in levels])
+            transcript = self._absorb(transcript, root)
+            beta = transcript[0]
+            betas.append(beta)
+            v = fri_fold(self.lde, v, beta, table)
+        final = [int(x) for x in from_pairs(
+            (np.asarray(v[0]), np.asarray(v[1])))]
+        transcript = self._absorb(transcript, final[:4])
+        queries = []
+        n0 = self.domains[0][2]
+        for qi in range(self.num_queries):
+            seed = self._absorb(transcript, [qi + 1, 0, 0, 0])
+            idx = seed[0] % n0
+            layers = []
+            for li, (vals, levels) in enumerate(zip(layer_values,
+                                                    layer_levels)):
+                pair_i = (idx >> 1)
+                a = int((np.uint64(vals[0][idx & ~1]) << np.uint64(32))
+                        | np.uint64(vals[1][idx & ~1]))
+                b = int((np.uint64(vals[0][idx | 1]) << np.uint64(32))
+                        | np.uint64(vals[1][idx | 1]))
+                path = []
+                node = pair_i
+                for lvl in levels[:-1]:
+                    sib = node ^ 1
+                    path.append([
+                        int((np.uint64(lvl[k][sib]) << np.uint64(32))
+                            | np.uint64(lvl[4 + k][sib]))
+                        for k in range(4)])
+                    node >>= 1
+                layers.append({"pair": (a, b), "path": path})
+                idx = pair_i
+            queries.append(layers)
+        return {"roots": roots, "final": final, "queries": queries,
+                "n0": n0, "blowup": self.lde.blowup,
+                "final_size": self.final_size,
+                "num_queries": self.num_queries}
+
+
+def fri_verify(lde: LdePlan, proof: dict) -> bool:
+    """Independent verifier: big-int folds + PoseidonRef hashing only (no
+    device code).  Checks every Merkle path, the fold consistency of
+    every query chain, and that the final codeword interpolates to degree
+    < final_size / blowup on its coset."""
+    from .poseidon import PoseidonRef
+
+    q = lde.big.p.q
+    ref = PoseidonRef()
+
+    def absorb(state, elems):
+        padded = (list(elems) + [0, 0, 0, 0])[:4]
+        return ref.permute(list(state) + padded)[:4]
+
+    tables, domains = fri_fold_tables(lde, proof["final_size"])
+    transcript = [0, 0, 0, 0]
+    betas = []
+    for root in proof["roots"]:
+        transcript = absorb(transcript, root)
+        betas.append(transcript[0])
+    final = proof["final"]
+    m = domains[-1][2]
+    if len(final) != m:
+        return False
+    transcript = absorb(transcript, final[:4])
+
+    # final codeword must be a degree < final_size/blowup polynomial on
+    # its coset: inverse-NTT the (bit-reversed) values and check the top
+    # coefficients vanish
+    g_f, w_f, _ = domains[-1]
+    bits = m.bit_length() - 1
+    nat = [0] * m
+    for i, val in enumerate(final):
+        nat[_bitrev_index(i, bits)] = val
+    n_inv = pow(m, -1, q)
+    coeffs = []
+    w_inv = pow(w_f, -1, q)
+    for k in range(m):
+        acc, wk, step = 0, 1, pow(w_inv, k, q)
+        for j in range(m):
+            acc = (acc + nat[j] * wk) % q
+            wk = wk * step % q
+        coeffs.append(acc * n_inv % q * pow(g_f, -(k) % (q - 1), q) % q)
+    if any(c for c in coeffs[m // proof["blowup"]:]):
+        return False
+
+    half = pow(2, -1, q)
+    n0 = proof["n0"]
+    for qi, layers in enumerate(proof["queries"]):
+        seed = absorb(transcript, [qi + 1, 0, 0, 0])
+        idx = seed[0] % n0
+        prev_fold = None
+        for li, layer in enumerate(layers):
+            a, b = layer["pair"]
+            if prev_fold is not None and prev_fold != (b if idx & 1 else a):
+                return False
+            # Merkle path to the layer root
+            node = idx >> 1
+            dig = ref.hash_elements([a, b])
+            for sib in layer["path"]:
+                if node & 1:
+                    dig = ref.compress(sib, dig)
+                else:
+                    dig = ref.compress(dig, sib)
+                node >>= 1
+            if dig != proof["roots"][li]:
+                return False
+            # fold to the next layer
+            g_l, w_l, size = domains[li]
+            mbits = (size // 2).bit_length() - 1
+            e = _bitrev_index(idx >> 1, mbits)
+            inv_x = pow(g_l * pow(w_l, e, q) % q, -1, q)
+            prev_fold = (half * (a + b)
+                         + betas[li] * half % q * inv_x % q * (a - b)) % q
+            idx >>= 1
+        if prev_fold != final[idx]:
+            return False
+    return True
