@@ -115,3 +115,35 @@ def test_pair_helpers_roundtrip():
 def test_width_validation():
     with pytest.raises(ValueError):
         Poseidon2GL(width=6)
+
+
+def test_pallas_kernel_traces():
+    """The fused Pallas permutation (kernels/poseidon.py) — structure
+    check via abstract evaluation only: the interpreted program's XLA-CPU
+    compile runs >9 minutes (recorded dead end, BENCH_NOTES round 4), so
+    bit-exactness of this kernel is asserted on the real chip (58M
+    perm/s, vs the reference model incl. boundary states); here we pin
+    the traced shapes and the host-side fold/unfold plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_ntt.kernels.poseidon as kp
+
+    h = Poseidon2GL()
+    key = (h.width, h.rf, h.rp, id(h))
+    kp._HASHERS[key] = h
+    block = 2048
+    cols = block // kp.FOLD
+    cph, cpl = kp._part_tables(key, cols)
+    assert cph.shape == (h.rp, cols) and cpl.shape == (h.rp, cols)
+    f = kp._compiled(key, block, block, False, False)
+    sh = jax.eval_shape(f, jnp.asarray(cph), jnp.asarray(cpl),
+                        jax.ShapeDtypeStruct((16 * kp.FOLD, cols),
+                                             jnp.uint32))
+    assert sh.shape == (16 * kp.FOLD, cols) and sh.dtype == jnp.uint32
+    with pytest.raises(ValueError):
+        kp.permute_kernel(h, [(np.zeros((2, 4), np.uint32),) * 2] * 8,
+                          block=block)  # 2-D batch rejected
+    with pytest.raises(ValueError):
+        kp.permute_kernel(h, [(np.zeros(4, np.uint32),) * 2] * 8,
+                          block=100)  # bad block

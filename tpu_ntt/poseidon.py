@@ -177,23 +177,29 @@ class Poseidon2GL:
     width-8 linear layers, which are adds)."""
 
     def __init__(self, width: int = 8, rf: int = 8, rp: int = 22,
-                 constants=None, unroll: tuple[int, int] = (4, 2)):
+                 constants=None, unroll: tuple[int, int] = (4, 2),
+                 backend: str = "xla", interpret: bool = False):
         import jax
 
         if width % 4:
             raise ValueError("width must be a multiple of 4")
+        if backend not in ("xla", "kernel"):
+            raise ValueError("backend must be 'xla' or 'kernel'")
         self.width, self.rf, self.rp = width, rf, rp
         self.unroll = unroll  # (full-round, partial-round) scan unroll
+        self.backend = backend  # 'kernel': fused Pallas permutation for
+        # 1-D batches (kernels/poseidon.py, 58M perm/s vs 14.6M on chip);
+        # N-D batches and CPU tests use the XLA scan form either way
+        self.interpret = interpret
         self.rcs, self.diag = constants or default_constants(width, rf, rp)
         self.ref = PoseidonRef(width, rf, rp, (self.rcs, self.diag))
         # jitted entry points, cached per input shape: one permutation is
-        # a ~17k-op XLA program that compiles in seconds; Merkle/FRI call
+        # a ~2k-op XLA program that compiles in seconds; Merkle/FRI call
         # these per level so nothing ever builds a giant unrolled graph
         # (a single-jit 2^15-leaf tree is a 250k-op program whose remote
         # compile ran >10 minutes over the tunnel — measured dead end)
-        self.permute_j = jax.jit(self.permute)
-        self.compress_j = jax.jit(
-            lambda left, right: self.permute(list(left) + list(right))[:4])
+        self.permute_j = jax.jit(self._permute_impl)
+        self.compress_j = jax.jit(self.compress)
         self.hash_rows_j = jax.jit(self.hash_rows)
 
     # -- Goldilocks pair helpers (free functions; no params needed) --------
@@ -336,6 +342,17 @@ class Poseidon2GL:
                         (bcast(fh[half:]), bcast(fl[half:])), unroll=uf)
         return [(c[0][i], c[1][i]) for i in range(W)]
 
+    def _permute_impl(self, state):
+        """Backend mux: the fused Pallas kernel where it applies (1-D
+        batch, kernel backend), the XLA scan form otherwise."""
+        import numpy as _np
+
+        if self.backend == "kernel" and _np.ndim(state[0][0]) == 1:
+            from .kernels.poseidon import permute_kernel
+
+            return permute_kernel(self, state, interpret=self.interpret)
+        return self.permute(state)
+
     # -- sponge / Merkle ----------------------------------------------------
     def hash_rows(self, rows):
         """(…, L) pair -> digest: 4 pairs of shape (…,).  Rows are
@@ -357,12 +374,12 @@ class Poseidon2GL:
             for i in range(min(rate, L - off)):
                 lane = (hi[..., off + i], lo[..., off + i])
                 state[i] = self._add(state[i], lane)
-            state = self.permute(state)
+            state = self._permute_impl(state)
         return state[:4]
 
     def compress(self, left, right):
         """Two 4-lane digests -> one (2-to-1 Merkle node)."""
-        return self.permute(list(left) + list(right))[:4]
+        return self._permute_impl(list(left) + list(right))[:4]
 
 
 def merkle_levels(hasher: Poseidon2GL, leaves, jit: bool = True):

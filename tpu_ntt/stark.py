@@ -249,7 +249,7 @@ class FriProver:
     self-contained)."""
 
     def __init__(self, lde: LdePlan, final_size: int = 8,
-                 num_queries: int = 16):
+                 num_queries: int = 16, hasher=None):
         from .modmath import GOLDILOCKS_Q
 
         if lde.big.p.q != GOLDILOCKS_Q:
@@ -265,7 +265,10 @@ class FriProver:
         self.lde = lde
         self.final_size = final_size
         self.num_queries = num_queries
-        self.hasher = Poseidon2GL()
+        # pass Poseidon2GL(backend="kernel") on TPU for the fused Pallas
+        # permutation (1.84 vs 2.8 ms per N=8192 proof on chip); default
+        # constants either way, so proofs from both verify identically
+        self.hasher = hasher or Poseidon2GL()
         self.tables, self.domains = fri_fold_tables(lde, final_size)
 
     # -- Fiat–Shamir (host, via the reference permutation) ------------------
