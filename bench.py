@@ -156,6 +156,8 @@ def main():
         bench_rns_keyswitch(max(batch // 8, 32), iters)
         bench_hybrid_keyswitch(max(batch // 32, 16), iters)
         bench_sharded_rns(max(batch // 16, 32), iters)
+        bench_poseidon(batch * 64, iters)
+        bench_bgv(max(batch // 256, 4), iters)
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)
@@ -264,6 +266,74 @@ def bench_sharded_rns(batch, iters):
         f"batch={batch} {dt * 1e3:.3f} ms/iter -> "
         f"{batch / dt:,.0f} wide-products/s")
     return batch / dt
+
+
+def bench_poseidon(batch, iters):
+    """Poseidon2-GL permutation (= Merkle 2-to-1 compress) on the fused
+    Pallas kernel (kernels/poseidon.py; round-4 surface) vs the XLA scan
+    form."""
+    import jax.numpy as jnp
+
+    from tpu_ntt.benchlib import device_seconds_per_iter
+    from tpu_ntt.poseidon import Poseidon2GL, to_pairs
+
+    rng = np.random.default_rng(31)
+    Q = (1 << 64) - (1 << 32) + 1
+    st = [tuple(jnp.asarray(x) for x in
+                to_pairs(rng.integers(0, Q, batch, dtype=np.uint64)))
+          for _ in range(8)]
+    hk = Poseidon2GL(backend="kernel")
+    dt = device_seconds_per_iter(hk.permute_j, st, iters=iters)
+    log(f"  poseidon2-gl permute [pallas kernel]: batch={batch} "
+        f"{dt * 1e3:.3f} ms/iter -> {batch / dt / 1e6:.1f}M perm/s")
+    hx = Poseidon2GL()
+    dtx = device_seconds_per_iter(hx.permute_j, st, iters=iters)
+    log(f"  poseidon2-gl permute [xla scan]: batch={batch} "
+        f"{dtx * 1e3:.3f} ms/iter -> {batch / dtx / 1e6:.1f}M perm/s")
+    return batch / dt
+
+
+def bench_bgv(batch, iters):
+    """BGV ciphertext multiply + hybrid relinearization (tpu_ntt.fhe;
+    round-4 surface): the FHE scheme hot path, n=4096 over a 4x24-bit
+    RNS basis, keys cached as spectra at keygen."""
+    import time as _time
+
+    from tpu_ntt.fhe import BgvContext
+
+    rng = np.random.default_rng(37)
+    ctx = BgvContext(4096, 256, channels=4, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    rlk = ctx.relin_key(sk, rng)
+    m1 = rng.integers(0, 256, (batch, 4096))
+    m2 = rng.integers(0, 256, (batch, 4096))
+    c1 = ctx.encrypt(pk, m1, rng)
+    c2 = ctx.encrypt(pk, m2, rng)
+    # warm (compiles every stage program)
+    out = ctx.mul_relin(c1, c2, rlk)
+    jax.block_until_ready(out.parts[0][0])
+    # device-busy via trace (the scheme is host-orchestrated: wall time
+    # over the tunnel is RPC-bound, same regime as NttStream/bigint —
+    # BENCH_NOTES; each iteration is materialized INSIDE the window)
+    import tempfile
+
+    from tpu_ntt import profiling
+    from tpu_ntt.benchlib import _trace_device_busy
+
+    K = max(iters[0], 3)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = _time.perf_counter()
+        with profiling.trace(td):
+            for _ in range(K):
+                o = ctx.mul_relin(c1, c2, rlk)
+                jax.block_until_ready(jax.tree.leaves(o.parts)[0])
+        wall = (_time.perf_counter() - t0) / K
+        busy = _trace_device_busy(td) / K
+    log(f"  bgv mul+relin n=4096 96-bit 4ch dnum=2: batch={batch} "
+        f"{busy * 1e3:.2f} ms device/op-batch -> "
+        f"{batch / busy:,.0f} ct-products/s device-only "
+        f"({batch / wall:,.0f}/s end-to-end wall, tunnel-RPC-bound)")
+    return batch / busy
 
 
 def bench_kyber(batch, iters):
