@@ -147,3 +147,35 @@ def test_pallas_kernel_traces():
     with pytest.raises(ValueError):
         kp.permute_kernel(h, [(np.zeros(4, np.uint32),) * 2] * 8,
                           block=100)  # bad block
+
+
+def test_merkle_open_verify(hasher):
+    from tpu_ntt.poseidon import merkle_open, merkle_verify
+
+    rng = np.random.default_rng(11)
+    N = 16
+    leaves_ints = rng.integers(0, Q, (N, 4), dtype=np.uint64)
+    leaves = [to_pairs(leaves_ints[:, i]) for i in range(4)]
+    levels = merkle_levels(hasher, leaves)
+    root = digest_ints(levels[-1])
+    for idx in (0, 7, N - 1):
+        path = merkle_open(levels, idx)
+        leaf = [int(v) for v in leaves_ints[idx]]
+        assert merkle_verify(hasher.ref, root, idx, leaf, path)
+        bad = [p[:] for p in path]
+        bad[0][0] ^= 1
+        assert not merkle_verify(hasher.ref, root, idx, leaf, bad)
+        assert not merkle_verify(hasher.ref, root, idx ^ 1, leaf, path)
+
+
+def test_width12_permutation():
+    """W=12 (the Plonky2 Poseidon width): the generic structure covers
+    it — 3 M4 blocks, 12-lane internal layer — device == reference."""
+    rng = np.random.default_rng(13)
+    h12 = Poseidon2GL(width=12)
+    B = 3
+    st = rng.integers(0, Q, (12, B), dtype=np.uint64)
+    out = h12.permute([to_pairs(st[i]) for i in range(12)])
+    for b in range(B):
+        exp = h12.ref.permute([int(st[i, b]) for i in range(12)])
+        assert [_lane(o, b) for o in out] == exp

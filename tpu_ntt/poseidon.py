@@ -407,6 +407,31 @@ def merkle_root(hasher: Poseidon2GL, leaves):
     return merkle_levels(hasher, leaves)[-1]
 
 
+def merkle_open(levels, index: int) -> list[list[int]]:
+    """Authentication path for leaf ``index`` from ``merkle_levels``
+    output: the sibling digest at every level, leaf-adjacent first."""
+    path = []
+    node = index
+    for lvl in levels[:-1]:
+        sib = node ^ 1
+        path.append([int(from_pairs((np.asarray(d[0])[sib],
+                                     np.asarray(d[1])[sib])))
+                     for d in lvl])
+        node >>= 1
+    return path
+
+
+def merkle_verify(ref: PoseidonRef, root: list[int], index: int,
+                  leaf: list[int], path: list[list[int]]) -> bool:
+    """Host-side path check against the independent reference model."""
+    dig = [int(v) % Q for v in leaf]
+    node = index
+    for sib in path:
+        dig = ref.compress(sib, dig) if node & 1 else ref.compress(dig, sib)
+        node >>= 1
+    return dig == [int(v) % Q for v in root]
+
+
 # -- host-side helpers -------------------------------------------------------
 
 def to_pairs(values) -> tuple:
