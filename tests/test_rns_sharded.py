@@ -193,3 +193,26 @@ def test_2d_mesh_channel_x_batch_parity(ring):
         assert op not in hlo
     dec = ring.decode_words(np.asarray(sr.reconstruct_words(C)))
     assert np.array_equal(dec, ring.decode(ref))
+
+
+def test_sharded_rescale_mod_t_parity(mesh):
+    """Sharded BGV modswitch == RnsRing.rescale_mod_t bit-for-bit."""
+    import numpy as np
+
+    from tpu_ntt.rns import RnsRing
+    from tpu_ntt.rns_sharded import ShardedRnsRing
+
+    rng = np.random.default_rng(41)
+    ring = RnsRing(128, channels=4)
+    sr = ShardedRnsRing(ring, mesh)
+    t = 256
+    res = [rng.integers(0, p, (2, 128), dtype=np.int64).astype(np.uint32)
+           for p in ring.moduli]
+    want = ring.rescale_mod_t(res, t)
+    got = sr.rescale_mod_t(sr.put(res), t)
+    for w, g in zip(want, np.asarray(got)):
+        assert np.array_equal(np.asarray(w), g)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sr.rescale_mod_t(sr.put(res), 1)

@@ -295,6 +295,64 @@ class ShardedRnsRing:
 
         return f(self.scal, x)
 
+    def rescale_mod_t(self, x, t: int):
+        """BGV modulus switching on the sharded ring: the t-preserving
+        exact division of :meth:`rns.RnsRing.rescale_mod_t` (the unique
+        eps ≡ c mod p_k, eps ≡ 0 mod t correction) as the same one-
+        broadcast SPMD program as :meth:`rescale` — the small w = b + m
+        - t*bm split is computed once from the dropped channel and the
+        per-channel corrections stay channel-local.  Bounds match the
+        plain ring (2 <= t <= 65537, t < every prime, coprime to p_k)."""
+        pk = self.ring.moduli[-1]
+        if not 2 <= t <= 65537:
+            raise ValueError(f"plaintext modulus t must be in [2, 65537], got {t}")
+        if t >= min(self.ring.moduli):
+            raise ValueError("t must be smaller than every RNS prime")
+        if pk % t == 0:
+            raise ValueError("t must be coprime to the dropped prime")
+        invs = jnp.asarray(
+            [pow(pk % p.q, -1, p.q) for p in self.ring.params[:-1]],
+            dtype=jnp.uint32,
+        )
+        pk_mods = jnp.asarray([pk % p.q for p in self.ring.params[:-1]],
+                              dtype=jnp.uint32)
+        inv_pk_t = pow(pk, -1, t)
+
+        @jax.jit
+        def f(scal, x):
+            ck = x[-1]
+            b = (ck > jnp.uint32(pk // 2)).astype(jnp.uint32)
+            d_t = ck % jnp.uint32(t)
+            d_t = (d_t + jnp.uint32(t)
+                   - (jnp.uint32(pk % t) * b) % jnp.uint32(t)) \
+                % jnp.uint32(t)
+            hi, lo = mul32(d_t, jnp.full_like(d_t, inv_pk_t))
+            m = (hi * jnp.uint32((1 << 32) % t) + lo % jnp.uint32(t)) \
+                % jnp.uint32(t)
+            bm = (m > jnp.uint32(t // 2)).astype(jnp.uint32)
+            w_pos = jnp.where(bm == 0, b + m, jnp.uint32(0))
+            w_neg = jnp.where(bm == 1, jnp.uint32(t) - m - b,
+                              jnp.uint32(0))
+
+            def per(q, mu, inv, pkm, r):
+                ck_i = jnp.where(ck >= q, ck - q, ck)
+                t_pos = barrett_mul32(jnp.full_like(ck, pkm), w_pos, q,
+                                      self.k_bits, mu)
+                t_neg = barrett_mul32(jnp.full_like(ck, pkm), w_neg, q,
+                                      self.k_bits, mu)
+                eps = add_mod32(sub_mod32(ck_i, t_pos, q), t_neg, q)
+                d = sub_mod32(r, eps, q)
+                return barrett_mul32(d, jnp.full_like(d, inv), q,
+                                     self.k_bits, mu)
+
+            out = jax.vmap(per)(scal["q"][:-1], scal["mu"][:-1], invs,
+                                pk_mods, x[:-1])
+            if (self.nch - 1) % self.mesh.shape[self.axis] == 0:
+                out = jax.lax.with_sharding_constraint(out, self.spec)
+            return out
+
+        return f(self.scal, x)
+
     def drop_last(self) -> "ShardedRnsRing":
         """The sharded view of the rescale target ring."""
         if getattr(self, "_drop_last", None) is None:
