@@ -179,3 +179,31 @@ def test_width12_permutation():
     for b in range(B):
         exp = h12.ref.permute([int(st[i, b]) for i in range(12)])
         assert [_lane(o, b) for o in out] == exp
+
+
+def test_sponge_kernel_traces():
+    """Fused-sponge kernel (hash_rows_kernel): shape/trace pinning (see
+    test_pallas_kernel_traces for why interpret-mode execution is
+    absent); bit-exactness at L=2/11/84 is asserted on the real chip."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_ntt.kernels.poseidon as kp
+
+    h = Poseidon2GL()
+    key = (h.width, h.rf, h.rp, id(h))
+    kp._HASHERS[key] = h
+    block = 2048
+    cols = block // kp.FOLD
+    for L in (2, 11):
+        L4 = ((L + 3) // 4) * 4
+        cph, cpl = kp._part_tables(key, cols)
+        f = kp._compiled_sponge(key, L, block, block, False, False)
+        sh = jax.eval_shape(
+            f, jnp.asarray(cph), jnp.asarray(cpl),
+            jax.ShapeDtypeStruct((L4 * kp.FOLD, cols), jnp.uint32),
+            jax.ShapeDtypeStruct((L4 * kp.FOLD, cols), jnp.uint32))
+        assert sh.shape == (8 * kp.FOLD, cols)
+    with pytest.raises(ValueError):
+        kp.hash_rows_kernel(h, (np.zeros(4, np.uint32),
+                                np.zeros(4, np.uint32)))  # 1-D rows

@@ -51,17 +51,13 @@ U32 = jnp.uint32
 FOLD = 8
 
 
-def _kernel_body(hasher, part_unroll, cph_ref, cpl_ref, x_ref, o_ref):
-    """x/o: (2*W*FOLD, Bt) uint32; cph/cpl: (rp, Bt) partial-round
-    constants (each row one constant across lanes)."""
+def _permute_rounds(hasher, lanes, cph_ref, cpl_ref, part_unroll):
+    """The full 4+22+4 round schedule over a list of W lane pairs (each
+    an (F, cols) tile) — shared by the permutation kernel and the fused
+    sponge kernel."""
     from jax.experimental import pallas as pl
 
-    x = x_ref[...]
     W = hasher.width
-    F = FOLD
-    lanes = [(x[F * i:F * (i + 1)], x[F * (W + i):F * (W + i + 1)])
-             for i in range(W)]
-
     add = hasher._add
     sbox = hasher._sbox
     mul = hasher._mul
@@ -112,7 +108,58 @@ def _kernel_body(hasher, part_unroll, cph_ref, cpl_ref, x_ref, o_ref):
     lanes = [(carry[2 * j], carry[2 * j + 1]) for j in range(W)]
     for rc in rc_full[half:]:
         lanes = full_round(lanes, rc)
+    return lanes
 
+
+def _kernel_body(hasher, part_unroll, cph_ref, cpl_ref, x_ref, o_ref):
+    """x/o: (2*W*FOLD, Bt) uint32; cph/cpl: (rp, Bt) partial-round
+    constants (each row one constant across lanes)."""
+    x = x_ref[...]
+    W = hasher.width
+    F = FOLD
+    lanes = [(x[F * i:F * (i + 1)], x[F * (W + i):F * (W + i + 1)])
+             for i in range(W)]
+    lanes = _permute_rounds(hasher, lanes, cph_ref, cpl_ref, part_unroll)
+    o_ref[...] = jnp.concatenate([lane[0] for lane in lanes] +
+                                 [lane[1] for lane in lanes])
+
+
+def _sponge_body(hasher, L, part_unroll, cph_ref, cpl_ref,
+                 rh_ref, rl_ref, o_ref):
+    """Fused rate-4 sponge over rows of L elements: rh/rl are
+    (L4*FOLD, cols) with element j of each batch lane in sublane rows
+    [j*FOLD, (j+1)*FOLD) (L4 = L padded to a multiple of 4 with zeros —
+    absorbing zero is the identity, bit-compatible with the reference
+    model's partial last chunk); o is the (2*4*FOLD, cols) digest.  The
+    state stays in VMEM across ALL ceil(L/4) permutations instead of
+    round-tripping HBM between chunk calls."""
+    from jax.experimental import pallas as pl
+
+    W = hasher.width
+    F = FOLD
+    add = hasher._add
+    cols = rh_ref.shape[1]
+    zero = jnp.zeros((F, cols), jnp.uint32)
+    state = [(zero, zero)] * W
+    # length-in-capacity domain separation (true L, not the padded L4)
+    state[4] = (jnp.full((F, cols), L >> 32, jnp.uint32),
+                jnp.full((F, cols), L & 0xFFFFFFFF, jnp.uint32))
+    chunks = (L + 3) // 4
+
+    def chunk_body(i, carry):
+        lanes = [(carry[2 * j], carry[2 * j + 1]) for j in range(W)]
+        for j in range(4):
+            rh = rh_ref[pl.dslice((i * 4 + j) * F, F), :]
+            rl = rl_ref[pl.dslice((i * 4 + j) * F, F), :]
+            lanes[j] = add(lanes[j], (rh, rl))
+        lanes = _permute_rounds(hasher, lanes, cph_ref, cpl_ref,
+                                part_unroll)
+        return tuple(v for lane in lanes for v in lane)
+
+    carry = jax.lax.fori_loop(
+        0, chunks, chunk_body,
+        tuple(v for lane in state for v in lane))
+    lanes = [(carry[2 * j], carry[2 * j + 1]) for j in range(4)]
     o_ref[...] = jnp.concatenate([lane[0] for lane in lanes] +
                                  [lane[1] for lane in lanes])
 
@@ -143,6 +190,65 @@ def _compiled(hasher_key, batch: int, block: int, interpret: bool,
                                        jnp.uint32),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_sponge(hasher_key, L: int, batch: int, block: int,
+                     interpret: bool, part_unroll: bool):
+    from jax.experimental import pallas as pl
+
+    hasher = _HASHERS[hasher_key]
+    rp = hasher.rp
+    cols = block // FOLD
+    L4 = ((L + 3) // 4) * 4
+    grid = (batch // block,)
+    return pl.pallas_call(
+        functools.partial(_sponge_body, hasher, L, part_unroll),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rp, cols), lambda i: (0, 0)),
+            pl.BlockSpec((rp, cols), lambda i: (0, 0)),
+            pl.BlockSpec((L4 * FOLD, cols), lambda i: (0, i)),
+            pl.BlockSpec((L4 * FOLD, cols), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8 * FOLD, cols), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8 * FOLD, batch // FOLD),
+                                       jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def hash_rows_kernel(hasher, rows, block: int = 2048,
+                     interpret: bool = False, part_unroll: bool = False):
+    """Fused-sponge form of ``hasher.hash_rows`` for (B, L) rows: ONE
+    kernel runs all ceil(L/4) absorb+permute chunks with the state
+    VMEM-resident; rows are zero-padded to a rate multiple (identity
+    under absorption) and the batch to the block multiple."""
+    if block % (FOLD * 128):
+        raise ValueError(f"block must be a multiple of {FOLD * 128}")
+    key = (hasher.width, hasher.rf, hasher.rp, id(hasher))
+    _HASHERS[key] = hasher
+    hi = jnp.asarray(rows[0])
+    lo = jnp.asarray(rows[1])
+    if hi.ndim != 2:
+        raise ValueError("hash_rows_kernel expects (B, L) rows")
+    B, L = hi.shape
+    L4 = ((L + 3) // 4) * 4
+    Bp = max(block, ((B + block - 1) // block) * block)
+    pad = ((0, Bp - B), (0, L4 - L))
+    hi = jnp.pad(hi, pad)
+    lo = jnp.pad(lo, pad)
+    # (Bp, L4) -> (L4, Bp) -> sublane fold (L4*FOLD, Bp/FOLD): element j
+    # of batch lane b sits at [j*FOLD + b // (Bp/FOLD), b % (Bp/FOLD)] —
+    # the same fold the permutation kernel uses for its state lanes
+    hi = hi.T.reshape(L4 * FOLD, Bp // FOLD)
+    lo = lo.T.reshape(L4 * FOLD, Bp // FOLD)
+    cph, cpl = _part_tables(key, block // FOLD)
+    out = _compiled_sponge(key, L, Bp, block, interpret, part_unroll)(
+        jnp.asarray(cph), jnp.asarray(cpl), hi, lo)
+    oh = out[:4 * FOLD].reshape(4, Bp)
+    ol = out[4 * FOLD:].reshape(4, Bp)
+    return [(oh[i, :B], ol[i, :B]) for i in range(4)]
 
 
 @functools.lru_cache(maxsize=None)

@@ -350,7 +350,12 @@ class Poseidon2GL:
         if self.backend == "kernel" and _np.ndim(state[0][0]) == 1:
             from .kernels.poseidon import permute_kernel
 
-            return permute_kernel(self, state, interpret=self.interpret)
+            # small batches (deep Merkle levels) pad to one block; use
+            # the smallest legal block there so padding work is halved
+            B = _np.shape(state[0][0])[0]
+            block = 1024 if B <= 1024 else 2048
+            return permute_kernel(self, state, block=block,
+                                  interpret=self.interpret)
         return self.permute(state)
 
     # -- sponge / Merkle ----------------------------------------------------
@@ -364,6 +369,11 @@ class Poseidon2GL:
         hi, lo = rows
         hi = jnp.asarray(hi)
         lo = jnp.asarray(lo)
+        if self.backend == "kernel" and hi.ndim == 2:
+            from .kernels.poseidon import hash_rows_kernel
+
+            return hash_rows_kernel(self, (hi, lo),
+                                    interpret=self.interpret)
         L = hi.shape[-1]
         batch = hi.shape[:-1]
         rate = 4
