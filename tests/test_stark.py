@@ -227,3 +227,24 @@ def test_fri_validation():
     plan24 = LdePlan(32, 8380417, 4, order="bitrev")
     with pytest.raises(ValueError):
         FriProver(plan24)  # prove/verify is Goldilocks-only
+
+
+def test_lde_reorder_kernel_to_bitrev_feeds_fri():
+    """The fastest extension (kernel order) reordered ONCE into bitrev
+    must be bit-identical to a direct bitrev extension — so the fused
+    LDE composes with FRI; a proof over the reordered word verifies."""
+    rng = np.random.default_rng(51)
+    n, blowup = 64, 4  # N=256: the smallest fused-kernel size
+    pk = LdePlan(n, GOLDILOCKS_Q, blowup, order="kernel")
+    pb = LdePlan(n, GOLDILOCKS_Q, blowup, order="bitrev")
+    coeffs = [int(v) for v in rng.integers(0, GOLDILOCKS_Q, n,
+                                           dtype=np.uint64)]
+    ek = pk.reorder(pk.extend(pk.encode([coeffs])), pb)
+    eb = pb.extend(pb.encode([coeffs]))
+    assert np.array_equal(np.asarray(ek[0]), np.asarray(eb[0]))
+    assert np.array_equal(np.asarray(ek[1]), np.asarray(eb[1]))
+    vals = (np.asarray(ek[0])[0], np.asarray(ek[1])[0])
+    prover = FriProver(pb, final_size=16, num_queries=4)
+    assert fri_verify(pb, prover.prove(vals))
+    with pytest.raises(ValueError):
+        pk.reorder(ek, LdePlan(n, GOLDILOCKS_Q, 8, order="bitrev"))

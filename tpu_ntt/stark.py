@@ -121,6 +121,29 @@ class LdePlan:
         return self.ring.mul_tw(c, ntt._tmap(jnp.asarray,
                                              self._unscale_tw))
 
+    def reorder(self, evals, to: "LdePlan"):
+        """Permute this plan's output layout into ``to``'s layout (one
+        device gather): out[t] = in[s] where both slots hold the same
+        domain point.  The use case is composing the FASTEST extension
+        (order='kernel', the fused pallas-gl64 transform — 4.5x the XLA
+        orders) with consumers pinned to another order, e.g. FRI's
+        bit-reversed folds: extend on the kernel plan, reorder once,
+        prove on the bitrev plan (tests assert bit-identity with a
+        direct bitrev extension)."""
+        import jax.numpy as jnp
+
+        if (self.N, self.big.p.q, self.shift) != (to.N, to.big.p.q,
+                                                  to.shift):
+            raise ValueError("reorder needs plans over the same domain")
+        perm = getattr(self, "_reorder_perm", {}).get(to.order)
+        if perm is None:
+            pos = np.argsort(self.spectrum_indices())
+            perm = jnp.asarray(pos[to.spectrum_indices()])
+            self._reorder_perm = getattr(self, "_reorder_perm", {})
+            self._reorder_perm[to.order] = perm
+        return ntt._tmap(
+            lambda a: jnp.take(jnp.asarray(a), perm, axis=-1), evals)
+
     # -- host IO convenience ---------------------------------------------------
     def encode(self, coeffs) -> object:
         return self.big.encode(np.asarray(coeffs, dtype=object))
