@@ -68,7 +68,8 @@ def main():
     assert proof["roots"][0] == root, "layer-0 root == trace commitment"
 
     t0 = time.perf_counter()
-    ok = fri_verify(plan, proof)
+    ok = fri_verify(plan, proof, final_size=4 * args.blowup,
+                    num_queries=16)
     print(f"independent big-int verify: {ok} "
           f"({time.perf_counter() - t0:.2f}s)")
     assert ok

@@ -216,3 +216,163 @@ def test_sharded_rescale_mod_t_parity(mesh):
 
     with pytest.raises(ValueError):
         sr.rescale_mod_t(sr.put(res), 1)
+
+
+# ---------------------------------------------------------------------------
+# hybrid key switching on the mesh (round-5: the FHE-dominant op sharded)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hks_setup():
+    """6-channel base + 2 special primes (qp = 8 even over a 2-dev ch
+    mesh), dnum=3 digit groups — the production hybrid-KS shape."""
+    from tpu_ntt.rns import ntt_friendly_primes
+
+    n = 128
+    ring = RnsRing(n, channels=6)
+    special = tuple(ntt_friendly_primes(n, 24, 2,
+                                        below=min(ring.moduli)))
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("ch",))
+    sr = ShardedRnsRing(ring, mesh2)
+    rng = random.Random(505)
+    c = _rand_mod(rng, ring.q, (2, n))
+    return ring, special, sr, c, rng
+
+
+def test_sharded_base_extend_and_mod_down_parity(hks_setup):
+    """base_extend / mod_up / mod_down on the mesh == RnsRing bit-exact
+    (the exact reconstruction collective reused per digit group)."""
+    ring, special, sr, c, _ = hks_setup
+    qp_plain = ring.extended(special)
+    qp = sr.extended(special)
+    res = ring.encode(c)
+    x = sr.put(res)
+
+    be_plain = ring.base_extend(res, qp_plain)
+    be_sh = sr.base_extend(x, qp)
+    for want, got in zip(be_plain, sr.get(be_sh)):
+        assert np.array_equal(np.asarray(want), got)
+
+    groups = ring.digit_groups(3)
+    mu_plain = ring.mod_up(res, groups, qp_plain)
+    mu_sh = sr.mod_up(x, groups, qp)
+    for gp, gs in zip(mu_plain, mu_sh):
+        for want, got in zip(gp, sr.get(gs)):
+            assert np.array_equal(np.asarray(want), got)
+
+    md_plain = ring.mod_down(qp_plain, be_plain, len(special))
+    md_sh = sr.mod_down(qp, be_sh, len(special))
+    for want, got in zip(md_plain, sr.get(md_sh)):
+        assert np.array_equal(np.asarray(want), got)
+
+
+@pytest.mark.parametrize("dnum", [2, 3, 6])
+def test_sharded_hybrid_key_switch_parity(hks_setup, dnum):
+    """ShardedRnsRing.hybrid_key_switch == RnsRing.hybrid_key_switch
+    bit-for-bit (the floor contract, every dnum grouping)."""
+    ring, special, sr, c, rng = hks_setup
+    qp_plain = ring.extended(special)
+    groups = ring.digit_groups(dnum)
+    ksk = [[np.array([rng.randrange(p.q) for _ in range(ring.n)],
+                     dtype=np.uint32) for p in qp_plain.params]
+           for _ in range(len(groups))]
+    res = ring.encode(c)
+    want = ring.hybrid_key_switch(res, ksk, special, dnum)
+    got = sr.hybrid_key_switch(sr.put(res), ksk, special, dnum)
+    for w, g in zip(want, sr.get(got)):
+        assert np.array_equal(np.asarray(w), g)
+    # cached form reuses precomputed spectra, identical result
+    specs = sr.hybrid_ksk_spectra(ksk, special, dnum)
+    got2 = sr.hybrid_key_switch_cached(sr.put(res), specs, special, dnum)
+    for w, g in zip(want, sr.get(got2)):
+        assert np.array_equal(np.asarray(w), g)
+
+
+def test_hks_collective_structure(hks_setup):
+    """The sharded switch's collective budget: each digit-group ModUp
+    carries the one channel-axis all-reduce (digit-lane sum); the
+    dnum-digit spectrum dot is collective-FREE (channel-local SPMD)."""
+    import jax.numpy as jnp
+
+    ring, special, sr, c, rng = hks_setup
+    qp = sr.extended(special)
+    x = sr.put(ring.encode(c))
+    groups = ring.digit_groups(3)
+
+    # full-basis extension program: exactly the digit-lane all-reduce,
+    # no gathers.  (A digit GROUP's slice of the block-sharded channel
+    # axis often lands on a subset of devices, where XLA reduces locally
+    # without any collective — the layout property that makes grouped
+    # ModUp cheap; asserted implicitly by the group HLO below.)
+    f = sr._extend_prog(ring, qp)
+    hlo = f.lower(sr.scal["q"], sr.scal["mu"],
+                  qp.scal["q"], qp.scal["mu"], x).compile().as_text()
+    assert "all-reduce" in hlo
+    for op in ("all-gather", "all-to-all", "collective-permute"):
+        assert op not in hlo, f"unexpected {op} in ModUp"
+
+    # a 3-channel group on the 2-device mesh spans both devices only
+    # through its middle channel; whatever XLA picks, no gather may
+    # appear and the result must still be exact (checked in the parity
+    # tests) — here we only pin "no gathers" for the group program too
+    fg = sr._extend_prog(ring._group_ring(groups[0]), qp)
+    sl = slice(groups[0][0], groups[0][-1] + 1)
+    hlo_g = fg.lower(sr.scal["q"][sl], sr.scal["mu"][sl],
+                     qp.scal["q"], qp.scal["mu"],
+                     x[sl]).compile().as_text()
+    for op in ("all-gather", "all-to-all", "collective-permute"):
+        assert op not in hlo_g, f"unexpected {op} in group ModUp"
+
+    # dot program: zero collectives
+    ext = jnp.stack(sr.mod_up(x, groups, qp))
+    ksk = [[np.array([rng.randrange(p.q) for _ in range(ring.n)],
+                     dtype=np.uint32) for p in sr.ring.extended(special).params]
+           for _ in range(len(groups))]
+    specs = sr.hybrid_ksk_spectra(ksk, special, 3)
+    dot = sr._hks_dot(len(groups))
+    hlo = dot.lower(qp.tabs, qp.scal, ext, specs).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute"):
+        assert op not in hlo, f"unexpected {op} in spectrum dot"
+
+
+def test_sharded_bgv_parity():
+    """ShardedBgv mul+relin / modswitch / rotation == BgvContext
+    bit-exact: the full FHE hot loop runs on the mesh."""
+    from tpu_ntt.fhe import BgvContext, ShardedBgv
+
+    n, t = 128, 257  # t | 2n: factors stay 1
+    ctx = BgvContext(n, t, channels=6, num_special=2, dnum=3)
+    rng = np.random.default_rng(7)
+    sk, pk = ctx.keygen(rng)
+    rlk = ctx.relin_key(sk, rng)
+    gk = ctx.galois_key(sk, 3, rng)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("ch",))
+    sb = ShardedBgv(ctx, mesh2)
+
+    m1 = rng.integers(0, t, n)
+    m2 = rng.integers(0, t, n)
+    c1, c2 = ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng)
+    s1, s2 = sb.put_ct(c1), sb.put_ct(c2)
+
+    p_plain = ctx.mul_relin(c1, c2, rlk)
+    p_sh = sb.mul_relin(s1, s2, rlk)
+    # residue-level bit-exactness, not just decrypt equality
+    for pa, pb in zip(p_plain.parts,
+                      [p_sh.sring.get(x) for x in p_sh.parts]):
+        for want, got in zip(pa, pb):
+            assert np.array_equal(np.asarray(want), got)
+    assert np.array_equal(ctx.decrypt(sk, p_plain), sb.decrypt(sk, p_sh))
+
+    ms_p, ms_s = ctx.mod_switch(p_plain), sb.mod_switch(p_sh)
+    for pa, pb in zip(ms_p.parts,
+                      [ms_s.sring.get(x) for x in ms_s.parts]):
+        for want, got in zip(pa, pb):
+            assert np.array_equal(np.asarray(want), got)
+
+    r_p, r_s = ctx.apply_galois(c1, 3, gk), sb.apply_galois(s1, 3, gk)
+    assert np.array_equal(ctx.decrypt(sk, r_p), sb.decrypt(sk, r_s))
+
+    a_p, a_s = ctx.add(p_plain, p_plain), sb.add(p_sh, p_sh)
+    assert np.array_equal(ctx.decrypt(sk, a_p), sb.decrypt(sk, a_s))

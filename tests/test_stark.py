@@ -174,7 +174,7 @@ def test_fri_honest_proof_verifies(gl_proof):
     assert len(proof["roots"]) == 3  # 128 -> 64 -> 32 -> 16
     assert len(proof["final"]) == 16
     assert len(proof["queries"]) == 6
-    assert fri_verify(plan, proof)
+    assert fri_verify(plan, proof, final_size=16, num_queries=6)
 
 
 def test_fri_rejects_tampered_value(gl_proof):
@@ -184,7 +184,7 @@ def test_fri_rejects_tampered_value(gl_proof):
     bad = copy.deepcopy(proof)
     a, b = bad["queries"][0][1]["pair"]
     bad["queries"][0][1]["pair"] = (a ^ 1, b)
-    assert not fri_verify(plan, bad)
+    assert not fri_verify(plan, bad, final_size=16, num_queries=6)
 
 
 def test_fri_rejects_tampered_path(gl_proof):
@@ -193,7 +193,7 @@ def test_fri_rejects_tampered_path(gl_proof):
     plan, prover, proof, _ = gl_proof
     bad = copy.deepcopy(proof)
     bad["queries"][2][0]["path"][0][0] ^= 1
-    assert not fri_verify(plan, bad)
+    assert not fri_verify(plan, bad, final_size=16, num_queries=6)
 
 
 def test_fri_rejects_tampered_root(gl_proof):
@@ -202,7 +202,7 @@ def test_fri_rejects_tampered_root(gl_proof):
     plan, prover, proof, _ = gl_proof
     bad = copy.deepcopy(proof)
     bad["roots"][0][0] ^= 1
-    assert not fri_verify(plan, bad)
+    assert not fri_verify(plan, bad, final_size=16, num_queries=6)
 
 
 def test_fri_rejects_high_degree_word(gl_proof):
@@ -214,7 +214,45 @@ def test_fri_rejects_high_degree_word(gl_proof):
     rand = to_pairs(rng.integers(0, GOLDILOCKS_Q, plan.N,
                                  dtype=np.uint64))
     bad = prover.prove((np.asarray(rand[0]), np.asarray(rand[1])))
-    assert not fri_verify(plan, bad)
+    assert not fri_verify(plan, bad, final_size=16, num_queries=6)
+
+
+def test_fri_rejects_forged_structure(gl_proof):
+    """Soundness parameters are bound verifier-side (ADVICE round 4): a
+    proof that empties the query list, shrinks the root list, or claims
+    a different schedule must be rejected regardless of its own
+    blowup/n0/final_size claims."""
+    import copy
+
+    plan, prover, proof, _ = gl_proof
+    v = lambda p: fri_verify(plan, p, final_size=16, num_queries=6)
+    bad = copy.deepcopy(proof)
+    bad["queries"] = []  # skip all query/Merkle checks
+    assert not v(bad)
+    bad = copy.deepcopy(proof)
+    bad["roots"] = bad["roots"][:-1]
+    assert not v(bad)
+    bad = copy.deepcopy(proof)
+    bad["queries"][0] = bad["queries"][0][:-1]  # short layer chain
+    assert not v(bad)
+    bad = copy.deepcopy(proof)
+    bad["queries"][0][1]["path"] = bad["queries"][0][1]["path"][:-1]
+    assert not v(bad)
+    bad = copy.deepcopy(proof)
+    bad["final"] = bad["final"][:8]  # wrong final size
+    assert not v(bad)
+    # proof-claimed parameters are IGNORED: corrupting them must not
+    # let a proof verify under weaker checks (they are dead metadata)
+    bad = copy.deepcopy(proof)
+    bad["blowup"] = 1
+    bad["n0"] = 4
+    bad["final_size"] = 4
+    assert v(bad)  # still verifies — claims unused
+    # tamper an element of the final codeword BEYOND the first rate
+    # chunk: the full-codeword absorption must shift every query index
+    bad = copy.deepcopy(proof)
+    bad["final"][7] = (bad["final"][7] + 1) % GOLDILOCKS_Q
+    assert not v(bad)
 
 
 def test_fri_validation():
@@ -245,6 +283,7 @@ def test_lde_reorder_kernel_to_bitrev_feeds_fri():
     assert np.array_equal(np.asarray(ek[1]), np.asarray(eb[1]))
     vals = (np.asarray(ek[0])[0], np.asarray(ek[1])[0])
     prover = FriProver(pb, final_size=16, num_queries=4)
-    assert fri_verify(pb, prover.prove(vals))
+    assert fri_verify(pb, prover.prove(vals), final_size=16,
+                      num_queries=4)
     with pytest.raises(ValueError):
         pk.reorder(ek, LdePlan(n, GOLDILOCKS_Q, 8, order="bitrev"))

@@ -115,6 +115,11 @@ class KeySwitchKey:
     special: tuple  # P basis appended for the switch
     dnum: int
     spectra: list  # per QP channel: best_nwc_matvec_spectra output
+    #: raw (k0, k1) residues over QP (lists over groups of per-channel
+    #: arrays) — kept so the SHARDED path (ShardedBgv) can re-transform
+    #: the same key with the mesh's q-generic merged transform (the
+    #: per-channel kernel spectra above are backend-specific layouts)
+    raw: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -254,7 +259,8 @@ class BgvContext:
             ])
             spectra.append(dispatch.best_nwc_matvec_spectra(p)(A))
         return KeySwitchKey(moduli=tuple(ring.moduli), special=self.special,
-                            dnum=len(groups), spectra=spectra)
+                            dnum=len(groups), spectra=spectra,
+                            raw=(k0, k1))
 
     def relin_key(self, sk: SecretKey, rng,
                   ring: RnsRing | None = None) -> KeySwitchKey:
@@ -512,3 +518,221 @@ class BgvContext:
             v = v[None]
         out = plan.decode(nwc_fwd_merged(plan, plan.encode(v)))
         return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# BGV on the device mesh (channel-sharded ciphertext algebra)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedCiphertext:
+    """Ciphertext whose residue parts live as stacked (k, ..., n) arrays
+    on a :class:`tpu_ntt.rns_sharded.ShardedRnsRing` (channel axis
+    sharded across the mesh); same (1, s[, s^2]) / factor semantics as
+    :class:`Ciphertext`."""
+
+    sring: object  # ShardedRnsRing at this ciphertext's level
+    parts: tuple
+    factor: int = 1
+
+    @property
+    def degree(self) -> int:
+        return len(self.parts) - 1
+
+
+class ShardedBgv:
+    """BGV ciphertext algebra on the channel-sharded RNS ring — the
+    multi-chip form of :class:`BgvContext` (SURVEY.md §2.8's mesh mandate
+    applied to the op that dominates FHE cost: key switching).
+
+    Key generation, encryption and decryption stay on the single-chip
+    context (host-randomness one-time ops); everything in the ciphertext
+    HOT LOOP — tensor products, relinearization (ModUp -> fused 2 x dnum
+    spectrum matvec -> t-preserving ModDown), modulus switching, Galois
+    rotations — runs as SPMD programs over the mesh.  Per-channel work is
+    collective-free; each digit group's ModUp costs ONE channel-axis
+    all-reduce (the radix-2^16 digit-lane sum, rns_sharded.py module
+    docstring).  Every operation is bit-exact vs the single-chip
+    BgvContext on the same inputs (tests/test_rns_sharded.py)."""
+
+    def __init__(self, ctx: BgvContext, mesh, axis: str = "ch",
+                 batch_axis: str | None = None):
+        from .rns_sharded import ShardedRnsRing
+
+        self.ctx = ctx
+        self.base = ShardedRnsRing(ctx.ring, mesh, axis, batch_axis)
+
+    def _sring(self, ring: RnsRing):
+        """The sharded view at ``ring``'s level (drop_last chain walk —
+        each level's view is built once and cached by the chain)."""
+        sr = self.base
+        while tuple(sr.ring.moduli) != tuple(ring.moduli):
+            if len(sr.ring.moduli) <= 1:
+                raise ValueError("ciphertext ring is not a level of "
+                                 "this context's modulus chain")
+            sr = sr.drop_last()
+        return sr
+
+    # -- IO ------------------------------------------------------------------
+    def put_ct(self, ct: Ciphertext) -> ShardedCiphertext:
+        sr = self._sring(ct.ring)
+        return ShardedCiphertext(
+            sring=sr,
+            parts=tuple(sr.put([np.asarray(r) for r in part])
+                        for part in ct.parts),
+            factor=ct.factor)
+
+    def get_ct(self, sct: ShardedCiphertext) -> Ciphertext:
+        return Ciphertext(ring=sct.sring.ring,
+                          parts=tuple(sct.sring.get(p) for p in sct.parts),
+                          factor=sct.factor)
+
+    def encrypt(self, pk: PublicKey, m, rng) -> ShardedCiphertext:
+        return self.put_ct(self.ctx.encrypt(pk, m, rng))
+
+    def decrypt(self, sk: SecretKey, sct: ShardedCiphertext) -> np.ndarray:
+        return self.ctx.decrypt(sk, self.get_ct(sct))
+
+    # -- key import ----------------------------------------------------------
+    def _sharded_specs(self, sr, ksk: KeySwitchKey):
+        """(k0, k1) merged spectra of the key over the sharded extended
+        basis, stacked (dnum, k_qp, n) each — transformed ONCE per key
+        (cached on the key object; the single-chip kernel spectra in
+        ksk.spectra are backend-specific layouts the mesh program cannot
+        consume)."""
+        import jax.numpy as jnp
+
+        cache = getattr(ksk, "_sharded_specs", None)
+        if cache is None:
+            cache = ksk._sharded_specs = {}
+        key = tuple(sr.ring.moduli)
+        if key not in cache:
+            if ksk.raw is None:
+                raise ValueError("key has no raw residues (regenerate "
+                                 "with this framework's keygen)")
+            qp = sr.extended(self.ctx.special)
+            k0, k1 = ksk.raw
+            cache[key] = tuple(
+                jnp.stack([qp.nwc_fwd(qp.put(row)) for row in rows])
+                for rows in (k0, k1))
+        return cache[key]
+
+    # -- ciphertext algebra --------------------------------------------------
+    def _match(self, a: ShardedCiphertext, b: ShardedCiphertext):
+        if tuple(a.sring.ring.moduli) != tuple(b.sring.ring.moduli):
+            raise ValueError("ciphertexts live at different levels; "
+                             "mod_switch to align them first")
+        if a.factor == b.factor:
+            return a, b
+        u = a.factor * pow(b.factor, -1, self.ctx.t) % self.ctx.t
+        return a, self.mul_scalar(b, u)
+
+    def add(self, a: ShardedCiphertext, b: ShardedCiphertext):
+        a, b = self._match(a, b)
+        sr = a.sring
+        d = max(a.degree, b.degree)
+        parts = []
+        for i in range(d + 1):
+            pa = a.parts[i] if i <= a.degree else None
+            pb = b.parts[i] if i <= b.degree else None
+            parts.append(pb if pa is None else
+                         pa if pb is None else sr.add(pa, pb))
+        return ShardedCiphertext(sring=sr, parts=tuple(parts),
+                                 factor=a.factor)
+
+    def mul_scalar(self, sct: ShardedCiphertext, u: int):
+        """Centered-scalar multiply, channel-local (per-channel Barrett
+        against the (k,)-vector of uc mod p — one vmapped program)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .modmath import barrett_mul32
+
+        sr = sct.sring
+        u %= self.ctx.t
+        uc = u - self.ctx.t if u > self.ctx.t // 2 else u
+        us = jnp.asarray([uc % p.q for p in sr.ring.params],
+                         dtype=jnp.uint32)
+        kb = sr.k_bits
+
+        def per(q, mu, s, r):
+            return barrett_mul32(r, jnp.broadcast_to(s, r.shape), q, kb,
+                                 mu)
+
+        f = jax.jit(jax.vmap(per))
+        parts = tuple(f(sr.scal["q"], sr.scal["mu"], us, p)
+                      for p in sct.parts)
+        return ShardedCiphertext(sring=sr, parts=parts, factor=sct.factor)
+
+    def mul(self, a: ShardedCiphertext, b: ShardedCiphertext):
+        """Karatsuba tensor product (3 SPMD ring products, zero
+        collectives) -> degree-2 ciphertext."""
+        if a.degree != 1 or b.degree != 1:
+            raise ValueError("mul expects degree-1 ciphertexts "
+                             "(relinearize first)")
+        a, b = self._match(a, b)
+        sr = a.sring
+        c0, c1 = a.parts
+        d0, d1 = b.parts
+        e0 = sr.nwc_mult(c0, d0)
+        e2 = sr.nwc_mult(c1, d1)
+        mid = sr.nwc_mult(sr.add(c0, c1), sr.add(d0, d1))
+        e1 = sr.sub(sr.sub(mid, e0), e2)
+        return ShardedCiphertext(sring=sr, parts=(e0, e1, e2),
+                                 factor=a.factor * b.factor % self.ctx.t)
+
+    def _key_switch(self, sr, part, ksk: KeySwitchKey):
+        """Hybrid switch of one component on the mesh: ModUp (one
+        all-reduce per digit group) -> fused 2 x dnum spectrum matvec
+        per extended channel (collective-free) -> t-preserving ModDown
+        (mirrors BgvContext._key_switch exactly)."""
+        import jax.numpy as jnp
+
+        if tuple(sr.ring.moduli) != ksk.moduli:
+            raise ValueError("key-switch key was generated for a "
+                             "different level")
+        qp = sr.extended(self.ctx.special)
+        groups = sr.digit_groups(ksk.dnum)
+        k0s, k1s = self._sharded_specs(sr, ksk)
+        ext = jnp.stack(sr.mod_up(part, groups, qp))
+        u0, u1 = sr._hks_matvec(len(groups))(qp.tabs, qp.scal, ext,
+                                             k0s, k1s)
+        ns = len(self.ctx.special)
+        return (sr.mod_down_mod_t(qp, u0, ns, self.ctx.t),
+                sr.mod_down_mod_t(qp, u1, ns, self.ctx.t))
+
+    def relinearize(self, sct: ShardedCiphertext, rlk: KeySwitchKey):
+        if sct.degree != 2:
+            raise ValueError("relinearize expects a degree-2 ciphertext")
+        sr = sct.sring
+        u0, u1 = self._key_switch(sr, sct.parts[2], rlk)
+        return ShardedCiphertext(
+            sring=sr,
+            parts=(sr.add(sct.parts[0], u0), sr.add(sct.parts[1], u1)),
+            factor=sct.factor)
+
+    def mul_relin(self, a, b, rlk: KeySwitchKey):
+        return self.relinearize(self.mul(a, b), rlk)
+
+    def apply_galois(self, sct: ShardedCiphertext, g: int,
+                     gk: KeySwitchKey):
+        if sct.degree != 1:
+            raise ValueError("apply_galois expects a degree-1 ciphertext")
+        sr = sct.sring
+        c0 = sr.automorphism(sct.parts[0], g)
+        c1 = sr.automorphism(sct.parts[1], g)
+        u0, u1 = self._key_switch(sr, c1, gk)
+        return ShardedCiphertext(sring=sr, parts=(sr.add(c0, u0), u1),
+                                 factor=sct.factor)
+
+    def mod_switch(self, sct: ShardedCiphertext):
+        """Drop the last prime (rescale_mod_t per part, channel-local
+        with one dropped-channel broadcast); factor scales by
+        p_k^{-1} mod t."""
+        sr = sct.sring
+        pk = sr.ring.moduli[-1]
+        parts = tuple(sr.rescale_mod_t(p, self.ctx.t) for p in sct.parts)
+        f = sct.factor * pow(pk, -1, self.ctx.t) % self.ctx.t
+        return ShardedCiphertext(sring=sr.drop_last(), parts=parts,
+                                 factor=f)

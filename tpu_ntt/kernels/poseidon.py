@@ -167,6 +167,28 @@ def _sponge_body(hasher, L, part_unroll, cph_ref, cpl_ref,
 _HASHERS: dict = {}
 
 
+def _hasher_key(hasher):
+    """Content key over the FULL parameterization (width, round counts,
+    round constants, internal diagonal) — identical-parameter hashers
+    share one compiled kernel set, and the cache growth is bounded by
+    the number of DISTINCT parameterizations (the id()-keyed form pinned
+    every instance forever; ADVICE round 4)."""
+    key = getattr(hasher, "_kernel_cache_key", None)
+    if key is None:
+        import hashlib
+
+        blob = repr((hasher.width, hasher.rf, hasher.rp,
+                     tuple(tuple(int(c) for c in rc) for rc in hasher.rcs),
+                     tuple(int(d) for d in hasher.diag))).encode()
+        key = hasher._kernel_cache_key = (
+            hasher.width, hasher.rf, hasher.rp,
+            hashlib.sha256(blob).hexdigest()[:16])
+    # first instance with these constants serves all of them (kernels
+    # depend only on the parameterization, which the key now captures)
+    _HASHERS.setdefault(key, hasher)
+    return key
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled(hasher_key, batch: int, block: int, interpret: bool,
               part_unroll: bool):
@@ -226,8 +248,7 @@ def hash_rows_kernel(hasher, rows, block: int = 2048,
     under absorption) and the batch to the block multiple."""
     if block % (FOLD * 128):
         raise ValueError(f"block must be a multiple of {FOLD * 128}")
-    key = (hasher.width, hasher.rf, hasher.rp, id(hasher))
-    _HASHERS[key] = hasher
+    key = _hasher_key(hasher)
     hi = jnp.asarray(rows[0])
     lo = jnp.asarray(rows[1])
     if hi.ndim != 2:
@@ -271,8 +292,7 @@ def permute_kernel(hasher, state, block: int = 2048,
     contaminate real ones)."""
     if block % (FOLD * 128):
         raise ValueError(f"block must be a multiple of {FOLD * 128}")
-    key = (hasher.width, hasher.rf, hasher.rp, id(hasher))
-    _HASHERS[key] = hasher
+    key = _hasher_key(hasher)
     W = hasher.width
     h = jnp.stack([jnp.asarray(s[0]) for s in state])
     l = jnp.stack([jnp.asarray(s[1]) for s in state])

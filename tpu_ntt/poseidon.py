@@ -75,6 +75,38 @@ M4 = np.array([[5, 7, 1, 3],
                [1, 1, 4, 6]], dtype=np.int64)
 
 
+def _internal_matrix_det(diag: list[int]) -> int:
+    """det(J + diag(mu_i - 1)) mod Q for the all-ones matrix J, by the
+    matrix determinant lemma applied exactly: with d_i = mu_i - 1,
+    det = prod(d_i) * (1 + sum 1/d_i) when all d_i != 0; any d_i == 0
+    falls back to modular Gaussian elimination (Q prime)."""
+    W = len(diag)
+    d = [(mu - 1) % Q for mu in diag]
+    if all(d):
+        prod = 1
+        for v in d:
+            prod = prod * v % Q
+        s = sum(pow(v, -1, Q) for v in d) % Q
+        return prod * (1 + s) % Q
+    m = [[(1 + (d[i] if i == j else 0)) % Q for j in range(W)]
+         for i in range(W)]
+    det = 1
+    for c in range(W):
+        piv = next((r for r in range(c, W) if m[r][c]), None)
+        if piv is None:
+            return 0
+        if piv != c:
+            m[c], m[piv] = m[piv], m[c]
+            det = Q - det
+        det = det * m[c][c] % Q
+        inv = pow(m[c][c], -1, Q)
+        for r in range(c + 1, W):
+            f = m[r][c] * inv % Q
+            for j in range(c, W):
+                m[r][j] = (m[r][j] - f * m[c][j]) % Q
+    return det
+
+
 @functools.lru_cache(maxsize=None)
 def default_constants(width: int, rf: int, rp: int):
     """(round_constants, internal_diag): rc[r] is a width-vector for the
@@ -82,11 +114,22 @@ def default_constants(width: int, rf: int, rp: int):
     0 is shifted there); diag mu_i for the internal matrix."""
     rc_full = _sha_field_stream(f"tpu_ntt.poseidon2.gl.w{width}.rc", rf * width)
     rc_part = _sha_field_stream(f"tpu_ntt.poseidon2.gl.w{width}.rp", rp)
-    # internal diagonal: mu_i must keep 1 + diag(mu_i - 1) invertible and
-    # free of small invariant subspaces; random field elements satisfy
-    # this with overwhelming probability (Poseidon2 §5.3 samples theirs
-    # the same way, then checks the conditions)
-    diag = _sha_field_stream(f"tpu_ntt.poseidon2.gl.w{width}.diag", width)
+    # internal diagonal: mu_i must keep 1 + diag(mu_i - 1) invertible;
+    # random field elements satisfy this with overwhelming probability
+    # (Poseidon2 §5.3 samples theirs the same way, then checks).  The
+    # cheap derivation-time checks are PERFORMED here (ADVICE round 4):
+    # every mu_i != 0 and det(internal matrix) != 0, re-sampling from
+    # the continuation of the same SHA stream on failure (the first
+    # draw passes for the shipped widths, so published digests are
+    # unchanged; the check guards custom widths/streams).
+    attempt = 0
+    while True:
+        tag = (f"tpu_ntt.poseidon2.gl.w{width}.diag"
+               + (f".retry{attempt}" if attempt else ""))
+        diag = _sha_field_stream(tag, width)
+        if all(diag) and _internal_matrix_det(diag) != 0:
+            break
+        attempt += 1
     half = rf // 2
     rcs = [rc_full[r * width:(r + 1) * width] for r in range(half)]
     rcs += [[c] for c in rc_part]

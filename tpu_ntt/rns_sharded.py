@@ -266,6 +266,9 @@ class ShardedRnsRing:
         stacked residues of floor(c / p_k) mod q/p_k.  The dropped
         channel's residues are the only cross-channel traffic (one
         broadcast of a (..., n) slice)."""
+        cached = getattr(self, "_rescale_j", None)
+        if cached is not None:
+            return cached(self.scal, x)
         pk = self.ring.moduli[-1]
         invs = jnp.asarray(
             [pow(pk % p.q, -1, p.q) for p in self.ring.params[:-1]],
@@ -293,6 +296,7 @@ class ShardedRnsRing:
                 out = jax.lax.with_sharding_constraint(out, self.spec)
             return out
 
+        self._rescale_j = f  # cache: one retrace per ring, not per call
         return f(self.scal, x)
 
     def rescale_mod_t(self, x, t: int):
@@ -303,6 +307,11 @@ class ShardedRnsRing:
         - t*bm split is computed once from the dropped channel and the
         per-channel corrections stay channel-local.  Bounds match the
         plain ring (2 <= t <= 65537, t < every prime, coprime to p_k)."""
+        cache = getattr(self, "_rescale_mod_t_j", None)
+        if cache is None:
+            cache = self._rescale_mod_t_j = {}
+        if t in cache:  # one retrace per (ring, t), not per call
+            return cache[t](self.scal, x)
         pk = self.ring.moduli[-1]
         if not 2 <= t <= 65537:
             raise ValueError(f"plaintext modulus t must be in [2, 65537], got {t}")
@@ -351,6 +360,7 @@ class ShardedRnsRing:
                 out = jax.lax.with_sharding_constraint(out, self.spec)
             return out
 
+        cache[t] = f
         return f(self.scal, x)
 
     def drop_last(self) -> "ShardedRnsRing":
@@ -364,105 +374,8 @@ class ShardedRnsRing:
     # -- exact CRT exit (the one collective) ----------------------------------
     @functools.cached_property
     def _reconstruct(self):
-        ring = self.ring
-        W = ring._acc_words
-        D = 2 * W  # radix-2^16 digit positions
-        q_words = [int(v) for v in ring._q_words]
-        # E_j's 32-bit words, (k, W) uint32 (host big-int, O(k^2) once)
-        E_words = jnp.asarray(ring._E_words)
-        invs = jnp.asarray(ring._inv, dtype=jnp.uint32)
-        p_inv_f = jnp.asarray([1.0 / p.q for p in ring.params],
-                              dtype=jnp.float32)
-        kb = self.k_bits
-        nch = self.nch
-        nwords = ring.nwords
-        U32 = jnp.uint32
-        M16 = jnp.uint32(0xFFFF)
-
-        @jax.jit
-        def rec(scal, x):
-            # per-channel digit contributions, then ONE cross-channel sum
-            def per_ch(q, mu, inv, ew, pinv, r):
-                y = barrett_mul32(r, jnp.full_like(r, inv), q, kb, mu)
-                digits = [jnp.zeros_like(r) for _ in range(D)]
-                for w in range(W):
-                    hi, lo = mul32(y, jnp.broadcast_to(ew[w], y.shape))
-                    digits[2 * w] = digits[2 * w] + (lo & M16)
-                    digits[2 * w + 1] = digits[2 * w + 1] + (lo >> 16)
-                    if 2 * w + 2 < D:
-                        digits[2 * w + 2] = digits[2 * w + 2] + (hi & M16)
-                    if 2 * w + 3 < D:
-                        digits[2 * w + 3] = digits[2 * w + 3] + (hi >> 16)
-                return jnp.stack(digits), y.astype(jnp.float32) * pinv
-
-            digits, s = jax.vmap(per_ch)(scal["q"], scal["mu"], invs,
-                                         E_words, p_inv_f, x)
-            # channel axis is sharded: these sums are the all-reduce
-            dsum = jnp.sum(digits, axis=0)  # (D, ..., n) < 2^23 per lane
-            k_est = jnp.clip(jnp.floor(jnp.sum(s, axis=0)), 0,
-                             nch).astype(U32)
-
-            # replicated finish: carry-propagate radix-2^16 digits into
-            # 32-bit words (each digit sum < 2^23, carries < 2^7)
-            words = []
-            carry = jnp.zeros_like(k_est)
-            halves = []
-            for t in range(D):
-                v = dsum[t] + carry
-                halves.append(v & M16)
-                carry = v >> 16
-            for w in range(W):
-                words.append(halves[2 * w] | (halves[2 * w + 1] << 16))
-
-            # T = words + q - k_est*q, then two conditional subtracts —
-            # the same exact correction as RnsRing.reconstruct_words
-            def add_at(acc, val, w0):
-                c = val
-                for i in range(w0, W):
-                    t = acc[i] + c
-                    c = (t < acc[i]).astype(U32)
-                    acc[i] = t
-
-            acc = [jnp.broadcast_to(U32(qw), k_est.shape).astype(U32)
-                   for qw in q_words]
-            for w in range(W):
-                add_at(acc, words[w], w)
-            m = [jnp.zeros_like(k_est) for _ in range(W)]
-            for w in range(W):
-                if q_words[w] == 0:
-                    continue
-                hi, lo = mul32(k_est, jnp.full_like(k_est, q_words[w]))
-                add_at(m, lo, w)
-                if w + 1 < W:
-                    add_at(m, hi, w + 1)
-            borrow = jnp.zeros_like(k_est)
-            for w in range(W):
-                sub = m[w] + borrow
-                bw = (sub < borrow).astype(U32)
-                t = acc[w] - sub
-                borrow = bw + (acc[w] < sub).astype(U32)
-                acc[w] = t
-            for _ in range(2):
-                gt = jnp.zeros_like(k_est, dtype=jnp.bool_)
-                eq = jnp.ones_like(k_est, dtype=jnp.bool_)
-                for w in range(W - 1, -1, -1):
-                    qw = U32(q_words[w])
-                    gt = gt | (eq & (acc[w] > qw))
-                    eq = eq & (acc[w] == qw)
-                ge = gt | eq
-                borrow = jnp.zeros_like(k_est)
-                new = []
-                for w in range(W):
-                    qw = jnp.full_like(k_est, q_words[w])
-                    sub = qw + borrow
-                    bw = (sub < borrow).astype(U32)
-                    t = acc[w] - sub
-                    borrow = bw + (acc[w] < sub).astype(U32)
-                    new.append(jnp.where(ge, t, acc[w]))
-                acc = new
-            return jnp.stack(acc[:nwords], axis=-1)
-
-        return rec
+        rec = _recon_program(self.ring, self.k_bits)
+        return jax.jit(lambda scal, x: rec(scal["q"], scal["mu"], x))
 
     def reconstruct_words(self, x):
         """Exact on-device CRT exit of the stacked sharded residues:
@@ -474,3 +387,318 @@ class ShardedRnsRing:
     def decode(self, x) -> np.ndarray:
         """Host object-int exit (tests / IO)."""
         return self.ring.decode_words(self.reconstruct_words(x))
+
+    # -- base extension / hybrid key switching on the mesh --------------------
+    #
+    # Key switching is the dominant cost of every RNS-FHE workload, and its
+    # ModUp phase is the one inherently CROSS-CHANNEL ring operation: each
+    # dnum-group digit (the canonical value mod its group product) must be
+    # re-expressed in EVERY channel of the extended basis.  The sharded
+    # form reuses the proven CRT-exit collective design: a group's digit
+    # reconstructs via the radix-2^16 digit-lane sum (ONE all-reduce over
+    # the channel axis per group), and the word->target-channel fold plus
+    # the dnum-digit spectrum dot are channel-local SPMD (zero
+    # collectives — asserted on the compiled HLO in
+    # tests/test_rns_sharded.py).  ModDown is the channel-local rescale
+    # iteration with its one dropped-channel broadcast per step.
+    # Contract parity: bit-exact vs RnsRing.hybrid_key_switch
+    # (rns.py:694-728) on the same inputs.
+
+    def extended(self, special: Sequence[int]) -> "ShardedRnsRing":
+        """Sharded view of the Q u P ring (special primes appended last,
+        so ModDown = rescale once per special prime)."""
+        key = tuple(int(m) for m in special)
+        cache = getattr(self, "_extended_shard", None)
+        if cache is None:
+            cache = self._extended_shard = {}
+        if key not in cache:
+            cache[key] = ShardedRnsRing(self.ring.extended(special),
+                                        self.mesh, self.axis,
+                                        self.batch_axis)
+        return cache[key]
+
+    def _extend_prog(self, src_ring: RnsRing, target: "ShardedRnsRing"):
+        """One jitted SPMD program: stacked residues over ``src_ring``'s
+        channels -> stacked residues of the SAME canonical value over
+        ``target``'s channels.  Exactly one collective (the digit-lane
+        all-reduce inside the reconstruction); the per-target-channel
+        word fold is vmapped q-generic local work."""
+        cache = getattr(self, "_extend_progs", None)
+        if cache is None:
+            cache = self._extend_progs = {}
+        key = (tuple(src_ring.moduli), tuple(target.ring.moduli))
+        if key in cache:
+            return cache[key]
+        rec = _recon_program(src_ring, self.k_bits)
+        W = src_ring.nwords
+        kb = self.k_bits
+        # 2^(32i) mod p per target channel (host, once)
+        cs = jnp.asarray(
+            [[pow(2, 32 * i, p.q) for i in range(W)]
+             for p in target.ring.params], dtype=jnp.uint32)
+        spec = target.spec
+
+        def fold_ch(q, mu, c, words):
+            acc = jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
+            for i in range(W):
+                wm = words[..., i] % q
+                term = barrett_mul32(wm, jnp.broadcast_to(c[i], wm.shape),
+                                     q, kb, mu)
+                acc = add_mod32(acc, term, q)
+            return acc
+
+        @jax.jit
+        def f(sq, smu, tq, tmu, x):
+            words = rec(sq, smu, x)
+            out = jax.vmap(fold_ch, in_axes=(0, 0, 0, None))(tq, tmu, cs,
+                                                             words)
+            return jax.lax.with_sharding_constraint(out, spec)
+
+        cache[key] = f
+        return f
+
+    def base_extend(self, x, target: "ShardedRnsRing"):
+        """EXACT base extension of the stacked residues to ``target``'s
+        basis (RnsRing.base_extend semantics, rns.py:527-558: rides the
+        exact reconstruction — no BEHZ +kq term)."""
+        f = self._extend_prog(self.ring, target)
+        return f(self.scal["q"], self.scal["mu"], target.scal["q"],
+                 target.scal["mu"], x)
+
+    def digit_groups(self, dnum: int) -> list:
+        return self.ring.digit_groups(dnum)
+
+    def mod_up(self, x, groups, qp: "ShardedRnsRing") -> list:
+        """ModUp: per digit group (contiguous channel slice of the
+        stacked array), the canonical digit value exactly extended to
+        every channel of ``qp``.  The group's digit-lane sum reduces
+        over only the devices its channel slice spans — a group resident
+        on one device reduces locally with NO collective (measured on
+        the compiled HLO, tests/test_rns_sharded.py): dnum grouping
+        shrinks both the transform count AND the communication."""
+        out = []
+        for idxs in groups:
+            if list(idxs) != list(range(idxs[0], idxs[-1] + 1)):
+                raise ValueError("digit groups must be contiguous")
+            sub = self.ring._group_ring(idxs)
+            f = self._extend_prog(sub, qp)
+            sl = slice(idxs[0], idxs[-1] + 1)
+            out.append(f(self.scal["q"][sl], self.scal["mu"][sl],
+                         qp.scal["q"], qp.scal["mu"], x[sl]))
+        return out
+
+    def mod_down(self, qp: "ShardedRnsRing", x, num_special: int):
+        """Exact floor division by the product of the last
+        ``num_special`` channels (rescale iterated; channel-local with
+        one dropped-channel broadcast per step)."""
+        r, res = qp, x
+        for _ in range(num_special):
+            res = r.rescale(res)
+            r = r.drop_last()
+        return res
+
+    def mod_down_mod_t(self, qp: "ShardedRnsRing", x, num_special: int,
+                       t: int):
+        """BGV ModDown: the t-preserving rescale_mod_t iteration
+        (RnsRing.mod_down_mod_t semantics, rns.py:495-507)."""
+        r, res = qp, x
+        for _ in range(num_special):
+            res = r.rescale_mod_t(res, t)
+            r = r.drop_last()
+        return res
+
+    def _hks_dot(self, dnum: int):
+        """Per-qp-channel fused spectrum dot: dnum digit forwards + one
+        pointwise-accumulated inverse, vmapped over the channel axis —
+        zero collectives (each device switches only its channels).
+        Cached per dnum on the instance (an lru_cache here would pin
+        self for the process lifetime)."""
+        cache = getattr(self, "_hks_dot_cache", None)
+        if cache is None:
+            cache = self._hks_dot_cache = {}
+        if dnum in cache:
+            return cache[dnum]
+        n, kb = self.n, self.k_bits
+
+        def per_ch(tabs, scal, d, ks):
+            ring = _TracedRing32(scal["q"], kb, scal["mu"])
+            plan = _GenericPlan(n, ring, tabs)
+            acc = None
+            for j in range(dnum):
+                fj = ntt.nwc_fwd_merged(plan, d[j])
+                term = ring.mul(fj, ks[j])
+                acc = term if acc is None else ring.add(acc, term)
+            return ntt.nwc_inv_merged(plan, acc)
+
+        cache[dnum] = jax.jit(jax.vmap(per_ch, in_axes=(0, 0, 1, 1)))
+        return cache[dnum]
+
+    def _hks_matvec(self, dnum: int):
+        """Two-row variant of :meth:`_hks_dot` for ciphertext key
+        switching (the (2, dnum) key matrix of fhe.KeySwitchKey): the
+        dnum digit forwards are computed ONCE and dotted against both
+        key rows — dnum forwards + two inverses per channel, the same
+        fused-matvec shape as dispatch.best_nwc_matvec single-chip."""
+        cache = getattr(self, "_hks_matvec_cache", None)
+        if cache is None:
+            cache = self._hks_matvec_cache = {}
+        if dnum in cache:
+            return cache[dnum]
+        n, kb = self.n, self.k_bits
+
+        def per_ch(tabs, scal, d, k0, k1):
+            ring = _TracedRing32(scal["q"], kb, scal["mu"])
+            plan = _GenericPlan(n, ring, tabs)
+            u0 = u1 = None
+            for j in range(dnum):
+                fj = ntt.nwc_fwd_merged(plan, d[j])
+                t0 = ring.mul(fj, k0[j])
+                t1 = ring.mul(fj, k1[j])
+                u0 = t0 if u0 is None else ring.add(u0, t0)
+                u1 = t1 if u1 is None else ring.add(u1, t1)
+            return (ntt.nwc_inv_merged(plan, u0),
+                    ntt.nwc_inv_merged(plan, u1))
+
+        cache[dnum] = jax.jit(jax.vmap(per_ch, in_axes=(0, 0, 1, 1, 1)))
+        return cache[dnum]
+
+    def hybrid_ksk_spectra(self, ksk, special: Sequence[int],
+                           dnum: int | None = None):
+        """Cached merged spectra of a fixed hybrid key over the extended
+        basis: ksk is a list over groups of qp-residue lists
+        (RnsRing.hybrid_ksk_spectra input layout) -> one stacked
+        (dnum, k_qp, ..., n) device array, channel axis sharded."""
+        qp = self.extended(special)
+        groups = self.digit_groups(dnum or self.nch)
+        if len(ksk) != len(groups):
+            raise ValueError(
+                f"ksk has {len(ksk)} digits, expected {len(groups)}")
+        return jnp.stack([qp.nwc_fwd(qp.put(k)) for k in ksk])
+
+    def hybrid_key_switch_cached(self, x, ksk_specs,
+                                 special: Sequence[int],
+                                 dnum: int | None = None):
+        """Hybrid key switch on the mesh (the RnsRing.hybrid_key_switch
+        floor contract, rns.py:694-728): ModUp (one all-reduce per
+        digit group) -> fused dnum-digit spectrum dot per extended
+        channel (collective-free) -> exact ModDown.  Bit-exact vs the
+        single-chip ring on the same inputs (tests/test_rns_sharded.py).
+        """
+        qp = self.extended(special)
+        groups = self.digit_groups(dnum or self.nch)
+        ext = jnp.stack(self.mod_up(x, groups, qp))
+        out = self._hks_dot(len(groups))(qp.tabs, qp.scal, ext, ksk_specs)
+        return self.mod_down(qp, out, len(special))
+
+    def hybrid_key_switch(self, x, ksk, special: Sequence[int],
+                          dnum: int | None = None):
+        """Uncached form: transforms the key each call (same transform
+        count as RnsRing.hybrid_key_switch; prefer the cached form for
+        fixed keys)."""
+        specs = self.hybrid_ksk_spectra(ksk, special, dnum)
+        return self.hybrid_key_switch_cached(x, specs, special, dnum)
+
+
+def _recon_program(ring: RnsRing, k_bits: int):
+    """Jittable (q, mu, x) -> words program over a host :class:`RnsRing`'s
+    CRT constants: x stacked (g, ..., n) residues of ring's g channels ->
+    (..., n, ring.nwords) uint32 little-endian words of the canonical
+    value in [0, ring.q).  The channel-axis ``jnp.sum`` of the radix-2^16
+    digit lanes is the ONE collective when x is sharded P(ch) (module
+    docstring); shared by the full-basis CRT exit and the per-digit-group
+    ModUp reconstructions."""
+    W = ring._acc_words
+    D = 2 * W  # radix-2^16 digit positions
+    q_words = [int(v) for v in ring._q_words]
+    E_words = jnp.asarray(ring._E_words)
+    invs = jnp.asarray(ring._inv, dtype=jnp.uint32)
+    p_inv_f = jnp.asarray([1.0 / p.q for p in ring.params],
+                          dtype=jnp.float32)
+    nch = len(ring.moduli)
+    nwords = ring.nwords
+    U32 = jnp.uint32
+    M16 = jnp.uint32(0xFFFF)
+
+    def rec(q_arr, mu_arr, x):
+        # per-channel digit contributions, then ONE cross-channel sum
+        def per_ch(q, mu, inv, ew, pinv, r):
+            y = barrett_mul32(r, jnp.full_like(r, inv), q, k_bits, mu)
+            digits = [jnp.zeros_like(r) for _ in range(D)]
+            for w in range(W):
+                hi, lo = mul32(y, jnp.broadcast_to(ew[w], y.shape))
+                digits[2 * w] = digits[2 * w] + (lo & M16)
+                digits[2 * w + 1] = digits[2 * w + 1] + (lo >> 16)
+                if 2 * w + 2 < D:
+                    digits[2 * w + 2] = digits[2 * w + 2] + (hi & M16)
+                if 2 * w + 3 < D:
+                    digits[2 * w + 3] = digits[2 * w + 3] + (hi >> 16)
+            return jnp.stack(digits), y.astype(jnp.float32) * pinv
+
+        digits, s = jax.vmap(per_ch)(q_arr, mu_arr, invs, E_words,
+                                     p_inv_f, x)
+        # channel axis is sharded: these sums are the all-reduce
+        dsum = jnp.sum(digits, axis=0)  # (D, ..., n) < 2^23 per lane
+        k_est = jnp.clip(jnp.floor(jnp.sum(s, axis=0)), 0,
+                         nch).astype(U32)
+
+        # replicated finish: carry-propagate radix-2^16 digits into
+        # 32-bit words (each digit sum < 2^23, carries < 2^7)
+        words = []
+        carry = jnp.zeros_like(k_est)
+        halves = []
+        for t in range(D):
+            v = dsum[t] + carry
+            halves.append(v & M16)
+            carry = v >> 16
+        for w in range(W):
+            words.append(halves[2 * w] | (halves[2 * w + 1] << 16))
+
+        # T = words + q - k_est*q, then two conditional subtracts —
+        # the same exact correction as RnsRing.reconstruct_words
+        def add_at(acc, val, w0):
+            c = val
+            for i in range(w0, W):
+                t = acc[i] + c
+                c = (t < acc[i]).astype(U32)
+                acc[i] = t
+
+        acc = [jnp.broadcast_to(U32(qw), k_est.shape).astype(U32)
+               for qw in q_words]
+        for w in range(W):
+            add_at(acc, words[w], w)
+        m = [jnp.zeros_like(k_est) for _ in range(W)]
+        for w in range(W):
+            if q_words[w] == 0:
+                continue
+            hi, lo = mul32(k_est, jnp.full_like(k_est, q_words[w]))
+            add_at(m, lo, w)
+            if w + 1 < W:
+                add_at(m, hi, w + 1)
+        borrow = jnp.zeros_like(k_est)
+        for w in range(W):
+            sub = m[w] + borrow
+            bw = (sub < borrow).astype(U32)
+            t = acc[w] - sub
+            borrow = bw + (acc[w] < sub).astype(U32)
+            acc[w] = t
+        for _ in range(2):
+            gt = jnp.zeros_like(k_est, dtype=jnp.bool_)
+            eq = jnp.ones_like(k_est, dtype=jnp.bool_)
+            for w in range(W - 1, -1, -1):
+                qw = U32(q_words[w])
+                gt = gt | (eq & (acc[w] > qw))
+                eq = eq & (acc[w] == qw)
+            ge = gt | eq
+            borrow = jnp.zeros_like(k_est)
+            new = []
+            for w in range(W):
+                qw = jnp.full_like(k_est, q_words[w])
+                sub = qw + borrow
+                bw = (sub < borrow).astype(U32)
+                t = acc[w] - sub
+                borrow = bw + (acc[w] < sub).astype(U32)
+                new.append(jnp.where(ge, t, acc[w]))
+            acc = new
+        return jnp.stack(acc[:nwords], axis=-1)
+
+    return rec

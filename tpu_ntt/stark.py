@@ -328,12 +328,19 @@ class FriProver:
             v = fri_fold(self.lde, v, beta, table)
         final = [int(x) for x in from_pairs(
             (np.asarray(v[0]), np.asarray(v[1])))]
-        transcript = self._absorb(transcript, final[:4])
+        # absorb the ENTIRE final codeword (rate-4 chunks) so every
+        # element is bound by the query-position challenges (an element
+        # outside the transcript could be chosen after seeing the
+        # queries — ADVICE round 4)
+        for off in range(0, len(final), 4):
+            transcript = self._absorb(transcript, final[off:off + 4])
         queries = []
         n0 = self.domains[0][2]
         for qi in range(self.num_queries):
             seed = self._absorb(transcript, [qi + 1, 0, 0, 0])
-            idx = seed[0] % n0
+            # n0 is a power of two: low bits are exactly uniform (the
+            # mod-n0 form had a negligible-but-avoidable bias)
+            idx = seed[0] & (n0 - 1)
             layers = []
             for li, (vals, levels) in enumerate(zip(layer_values,
                                                     layer_levels)):
@@ -360,11 +367,20 @@ class FriProver:
                 "num_queries": self.num_queries}
 
 
-def fri_verify(lde: LdePlan, proof: dict) -> bool:
+def fri_verify(lde: LdePlan, proof: dict, final_size: int = 8,
+               num_queries: int = 16) -> bool:
     """Independent verifier: big-int folds + PoseidonRef hashing only (no
     device code).  Checks every Merkle path, the fold consistency of
     every query chain, and that the final codeword interpolates to degree
-    < final_size / blowup on its coset."""
+    < final_size / blowup on its coset.
+
+    EVERY soundness-critical parameter is bound to the VERIFIER side
+    (ADVICE round 4): the domain size and blowup come from ``lde``, the
+    expected final size and query count are arguments (defaults match
+    :class:`FriProver`), and the fold schedule — layer count, per-query
+    layer counts, Merkle path lengths — is re-derived here and enforced
+    against the proof's structure.  A forged proof that shrinks or empties
+    any of these lists is rejected before any hashing happens."""
     from .poseidon import PoseidonRef
 
     q = lde.big.p.q
@@ -374,21 +390,41 @@ def fri_verify(lde: LdePlan, proof: dict) -> bool:
         padded = (list(elems) + [0, 0, 0, 0])[:4]
         return ref.permute(list(state) + padded)[:4]
 
-    tables, domains = fri_fold_tables(lde, proof["final_size"])
+    if final_size < 2 * lde.blowup or final_size & (final_size - 1):
+        raise ValueError("final_size must be a power of two >= 2*blowup")
+    tables, domains = fri_fold_tables(lde, final_size)
+    n_layers = len(tables)
+    # structural schedule checks (verifier-derived, not proof-claimed)
+    if len(proof["roots"]) != n_layers:
+        return False
+    if len(proof["queries"]) != num_queries:
+        return False
+    final = proof["final"]
+    m = domains[-1][2]
+    if len(final) != m or m != final_size:
+        return False
+    n0 = domains[0][2]  # == lde.N by construction
+    for layers in proof["queries"]:
+        if len(layers) != n_layers:
+            return False
+        for li, layer in enumerate(layers):
+            # layer li has size/2 committed pairs -> path of log2 length
+            size = domains[li][2]
+            if len(layer["path"]) != (size // 2).bit_length() - 1:
+                return False
     transcript = [0, 0, 0, 0]
     betas = []
     for root in proof["roots"]:
         transcript = absorb(transcript, root)
         betas.append(transcript[0])
-    final = proof["final"]
-    m = domains[-1][2]
-    if len(final) != m:
-        return False
-    transcript = absorb(transcript, final[:4])
+
+    for off in range(0, len(final), 4):
+        transcript = absorb(transcript, final[off:off + 4])
 
     # final codeword must be a degree < final_size/blowup polynomial on
     # its coset: inverse-NTT the (bit-reversed) values and check the top
-    # coefficients vanish
+    # coefficients vanish.  blowup comes from the verifier's lde, NOT
+    # the proof (a proof-claimed blowup=1 made this check vacuous)
     g_f, w_f, _ = domains[-1]
     bits = m.bit_length() - 1
     nat = [0] * m
@@ -403,14 +439,13 @@ def fri_verify(lde: LdePlan, proof: dict) -> bool:
             acc = (acc + nat[j] * wk) % q
             wk = wk * step % q
         coeffs.append(acc * n_inv % q * pow(g_f, -(k) % (q - 1), q) % q)
-    if any(c for c in coeffs[m // proof["blowup"]:]):
+    if any(c for c in coeffs[m // lde.blowup:]):
         return False
 
     half = pow(2, -1, q)
-    n0 = proof["n0"]
     for qi, layers in enumerate(proof["queries"]):
         seed = absorb(transcript, [qi + 1, 0, 0, 0])
-        idx = seed[0] % n0
+        idx = seed[0] & (n0 - 1)
         prev_fold = None
         for li, layer in enumerate(layers):
             a, b = layer["pair"]
