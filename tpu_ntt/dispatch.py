@@ -107,6 +107,26 @@ def _wrap(fn, nargs, split):
     return lambda a, b: jitted(_split_u64(a), _split_u64(b))
 
 
+@functools.lru_cache(maxsize=None)
+def fourstep_plan(p: NttParams):
+    """The large-N four-step plan the policy would run: a
+    ``sharded.KernelFourStep`` where the fused kernels cover both
+    sub-transforms (explicit coverage predicate, not try/except — a
+    genuine construction error inside a covered width must surface, not
+    silently downgrade to the 2-4x-slower XLA locals), else the XLA
+    ``FourStepPlan``.  Shared by ``_fourstep_backend`` and consumers
+    that need the transform-domain LAYOUT (``spectrum_indices``), e.g.
+    the STARK LDE's fused-kernel order at N > the flat window
+    (stark.LdePlan)."""
+    from . import sharded as _sh
+
+    n1, n2 = _sh.default_split(p.n)
+    interp = jax.devices()[0].platform != "tpu"
+    fs = (_sh.KernelFourStep(p, n1, n2, interpret=interp)
+          if _sh.KernelFourStep.supported(p, n1, n2) else None)
+    return fs if fs is not None else _sh.FourStepPlan(p, n1, n2)
+
+
 def _fourstep_backend(p: NttParams):
     """Single-chip large-N backend: the local four-step decomposition.
 
@@ -134,14 +154,9 @@ def _fourstep_backend(p: NttParams):
     """
     from . import sharded as _sh
 
-    n1, n2 = _sh.default_split(p.n)
-    interp = jax.devices()[0].platform != "tpu"
-    # explicit coverage predicate (not try/except): a genuine construction
-    # error inside a covered width must surface, not silently downgrade to
-    # the 2-4x-slower XLA locals
-    fs = (_sh.KernelFourStep(p, n1, n2, interpret=interp)
-          if _sh.KernelFourStep.supported(p, n1, n2) else None)
-    ring_fs = fs if fs is not None else _sh.FourStepPlan(p, n1, n2)
+    ring_fs = fourstep_plan(p)
+    fs = ring_fs if isinstance(ring_fs, _sh.KernelFourStep) else None
+    n1, n2 = ring_fs.n1, ring_fs.n2
     ring = ring_fs.ring
     split = ring.nlimbs == 2
     tmap = _sh._tmap

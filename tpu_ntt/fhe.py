@@ -67,6 +67,29 @@ def _centered(arr: np.ndarray, modulus: int) -> np.ndarray:
         lambda v: v - modulus if v > half else v, 1, 1)(arr)
 
 
+def decrypt_phase(sk, ct) -> np.ndarray:
+    """Centered integer phase [c0 + c1 s + c2 s^2]_Q of a ciphertext over
+    any RnsRing (host object ints via the exact device CRT exit) — the
+    RLWE decryption core shared by BGV (mod-t extraction) and CKKS
+    (scaled-real extraction, tpu_ntt/ckks.py)."""
+    ring = ct.ring
+    s = sk.residues(ring)
+    c1s = ring.nwc_mult(
+        ct.parts[1],
+        [np.broadcast_to(np.asarray(r), np.shape(ct.parts[1][0]))
+         for r in s])
+    acc = ring.add(ct.parts[0], c1s)
+    if ct.degree >= 2:
+        s2 = sk.square_residues(ring)
+        c2s2 = ring.nwc_mult(
+            ct.parts[2],
+            [np.broadcast_to(np.asarray(r), np.shape(ct.parts[2][0]))
+             for r in s2])
+        acc = ring.add(acc, c2s2)
+    words = ring.reconstruct_words(acc)
+    return _centered(ring.decode_words(words), ring.q)
+
+
 @dataclasses.dataclass
 class SecretKey:
     """Ternary secret with per-basis residue caches (s and s^2 are needed
@@ -137,7 +160,33 @@ class Ciphertext:
         return len(self.parts) - 1
 
 
-class BgvContext:
+class RlweSampler:
+    """Host-side randomness shared by the RLWE schemes (BGV here, CKKS in
+    tpu_ntt/ckks.py): ternary secrets/encryption randomness, bounded
+    uniform noise, uniform ring elements (independent uniform residues
+    per channel ARE uniform mod Q — CRT is a bijection), and the exact
+    signed-integer residue encoding."""
+
+    err_bound: int
+
+    def _ternary(self, rng, shape) -> np.ndarray:
+        return rng.integers(-1, 2, shape).astype(np.int64)
+
+    def _err(self, rng, shape) -> np.ndarray:
+        return rng.integers(-self.err_bound, self.err_bound + 1,
+                            shape).astype(np.int64)
+
+    def _encode_signed(self, arr: np.ndarray, ring: RnsRing) -> list:
+        """Small signed host integers -> residue lists (exact)."""
+        a = np.asarray(arr, dtype=np.int64)
+        return [_u32(a % p) for p in ring.moduli]
+
+    def _uniform(self, rng, ring: RnsRing, shape) -> list:
+        return [_u32(rng.integers(0, p, shape, dtype=np.int64))
+                for p in ring.moduli]
+
+
+class BgvContext(RlweSampler):
     """One BGV parameterization: ring dimension n, plaintext modulus t,
     an RNS ciphertext modulus Q = p_1 ... p_k of NTT-friendly primes, and
     ``num_special`` extra primes P for hybrid key switching.
@@ -168,26 +217,7 @@ class BgvContext:
         if _is_probable_prime(self.t) and (self.t - 1) % (2 * n) == 0:
             self._slot_plan = NttPlan(make_params(n, self.t))
 
-    # -- sampling (host; one-time keygen / per-encrypt randomness) ----------
-    def _ternary(self, rng, shape) -> np.ndarray:
-        return rng.integers(-1, 2, shape).astype(np.int64)
-
-    def _err(self, rng, shape) -> np.ndarray:
-        return rng.integers(-self.err_bound, self.err_bound + 1,
-                            shape).astype(np.int64)
-
-    def _encode_signed(self, arr: np.ndarray, ring: RnsRing) -> list:
-        """Small signed host integers -> residue lists (exact)."""
-        a = np.asarray(arr, dtype=np.int64)
-        return [_u32(a % p) for p in ring.moduli]
-
-    def _uniform(self, rng, ring: RnsRing, shape) -> list:
-        """Uniform element of R_Q: independent uniform residues per
-        channel ARE uniform mod Q (CRT is a bijection)."""
-        return [_u32(rng.integers(0, p, shape, dtype=np.int64))
-                for p in ring.moduli]
-
-    # -- key generation ------------------------------------------------------
+    # -- key generation (sampling: RlweSampler) ------------------------------
     def keygen(self, rng) -> tuple[SecretKey, PublicKey]:
         sk = SecretKey(self._ternary(rng, self.n).astype(np.int8))
         ring = self.ring
@@ -295,24 +325,7 @@ class BgvContext:
         return Ciphertext(ring=ring, parts=(c0, c1))
 
     def _phase(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
-        """Centered integer phase [c0 + c1 s + c2 s^2]_Q (host object
-        ints via the exact device CRT exit)."""
-        ring = ct.ring
-        s = sk.residues(ring)
-        c1s = ring.nwc_mult(
-            ct.parts[1],
-            [np.broadcast_to(np.asarray(r), np.shape(ct.parts[1][0]))
-             for r in s])
-        acc = ring.add(ct.parts[0], c1s)
-        if ct.degree >= 2:
-            s2 = sk.square_residues(ring)
-            c2s2 = ring.nwc_mult(
-                ct.parts[2],
-                [np.broadcast_to(np.asarray(r), np.shape(ct.parts[2][0]))
-                 for r in s2])
-            acc = ring.add(acc, c2s2)
-        words = ring.reconstruct_words(acc)
-        return _centered(ring.decode_words(words), ring.q)
+        return decrypt_phase(sk, ct)
 
     def decrypt(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
         phase = self._phase(sk, ct)
