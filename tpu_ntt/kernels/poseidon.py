@@ -283,6 +283,44 @@ def _part_tables(hasher_key, cols: int):
     return hi, lo
 
 
+class HostRef:
+    """Minimal Ref adapter so the EXACT kernel bodies (_kernel_body /
+    _sponge_body / _permute_rounds — the code that ships to Mosaic) can
+    execute as plain XLA on CPU for regression testing.  Supports the
+    two access patterns the bodies use: ``ref[...]`` full reads/writes
+    and ``ref[pl.dslice(i, k), :]`` dynamic row slices (lowered to
+    lax.dynamic_slice_in_dim, the same semantics Mosaic gives them).
+
+    Why this exists: every compiled route to running this body on CPU is
+    pathological (all measured round 5) — interpret-mode Pallas >9 min
+    full / >8 min even at RF=2/RP=2 with 17 GB RSS; direct jit of the
+    body compiles at --xla_backend_optimization_level=0 but the
+    executable then spins >5 minutes.  Under ``jax.disable_jit()`` the
+    FULL 30-round body executes eagerly in ~7 s (fori_loops become
+    Python loops, each op a tiny cached kernel), covering every
+    arithmetic/indexing regression; the pallas_call plumbing
+    (BlockSpecs, sublane fold) is shape-level and stays pinned by the
+    eval_shape tests + the on-chip drivers."""
+
+    def __init__(self, arr):
+        self.arr = jnp.asarray(arr)
+        self.shape = self.arr.shape
+
+    def __getitem__(self, idx):
+        if idx is Ellipsis:
+            return self.arr
+        rows = idx[0] if isinstance(idx, tuple) else idx
+        if hasattr(rows, "start"):  # pl.Slice
+            return jax.lax.dynamic_slice_in_dim(self.arr, rows.start,
+                                                rows.size, axis=0)
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        if idx is not Ellipsis:
+            raise NotImplementedError("kernel bodies only store ref[...]")
+        self.arr = jnp.asarray(val)
+
+
 def permute_kernel(hasher, state, block: int = 2048,
                    interpret: bool = False, part_unroll: bool = False):
     """Drop-in kernel form of ``hasher.permute``: state is a list of
