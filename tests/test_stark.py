@@ -241,7 +241,7 @@ def test_lde_kernel_order_fourstep_backend():
     idx = pk.spectrum_indices()
     assert sorted(idx) == list(range(pk.N))
     q = GOLDILOCKS_Q
-    om = pk.big.p.omega
+    om = pk.p.omega
     vals = (np.asarray(ek[0]).astype(np.uint64)[0].astype(object)
             * (1 << 32) + np.asarray(ek[1]).astype(np.uint64)[0])
     for t in (0, 1, 12345, pk.N - 1):

@@ -28,6 +28,8 @@ Bit-exactness oracle: direct big-int evaluation at every coset point
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from . import ntt
@@ -58,8 +60,10 @@ class LdePlan:
         self.N = blowup * n
         self.order = order
         self.shift = shift % q
-        self.big = NttPlan(make_params(self.N, q))
-        ring = self.big.ring
+        self.p = make_params(self.N, q)
+        from .modmath import make_ring
+
+        ring = make_ring(self.p)
         self.ring = ring
         # coset scale table g^i, i < n (one-time host O(n) build; the
         # ring's twiddle encoding so the scale is a mul_tw pass)
@@ -79,22 +83,33 @@ class LdePlan:
             # reorder is asserted at both scales in tests/test_stark.py).
             from . import dispatch, kernels
 
-            impl = dispatch.impl_name(self.big.p, "fwd")
+            impl = dispatch.impl_name(self.p, "fwd")
             if impl.startswith("pallas-"):
-                n1 = kernels.plan_for(self.big.p).n1
+                n1 = kernels.plan_for(self.p).n1
                 perm = np.arange(self.N).reshape(
                     n1, self.N // n1).T.reshape(-1)
                 self._kernel_layout = np.argsort(perm).astype(np.int64)
             elif "fourstep" in impl and not impl.startswith("xla-"):
-                fs = dispatch.fourstep_plan(self.big.p)
+                fs = dispatch.fourstep_plan(self.p)
                 self._kernel_layout = (
                     fs.spectrum_indices().reshape(-1).astype(np.int64))
             else:
                 raise ValueError(
                     f"order='kernel' needs a fused-kernel backend for "
                     f"(n={self.N}, q={q}); dispatch selects {impl!r}")
-            self._kernel_fwd = dispatch.best_ntt_fwd(self.big.p)
-            self._kernel_inv = dispatch.best_ntt_inv(self.big.p)
+            self._kernel_fwd = dispatch.best_ntt_fwd(self.p)
+            self._kernel_inv = dispatch.best_ntt_inv(self.p)
+
+    @functools.cached_property
+    def big(self) -> NttPlan:
+        """The flat merged-psi plan (O(N log N) host big-int tables) —
+        built LAZILY: only the XLA orders ('bitrev'/'natural') transform
+        through it.  order='kernel' never touches it, which is what
+        makes plan construction tractable at production N (at 2^20-2^22
+        the flat tables are minutes of host big-int work and ~10^2 MB of
+        embedded constants; the fused path needs only the O(sqrt(N))
+        four-step sub-plans)."""
+        return NttPlan(self.p)
 
     def extend(self, x):
         """Coefficients (..., n) -> coset evaluations (..., N)."""
@@ -128,9 +143,9 @@ class LdePlan:
         else:
             c = ntt.ntt_inv(self.big, evals)
         if getattr(self, "_unscale_tw", None) is None:
-            inv_s = pow(self.shift, -1, self.big.p.q)
+            inv_s = pow(self.shift, -1, self.p.q)
             self._unscale_tw = self.ring.encode_tw(
-                [pow(inv_s, i, self.big.p.q) for i in range(self.N)])
+                [pow(inv_s, i, self.p.q) for i in range(self.N)])
         return self.ring.mul_tw(c, ntt._tmap(jnp.asarray,
                                              self._unscale_tw))
 
@@ -145,7 +160,7 @@ class LdePlan:
         direct bitrev extension)."""
         import jax.numpy as jnp
 
-        if (self.N, self.big.p.q, self.shift) != (to.N, to.big.p.q,
+        if (self.N, self.p.q, self.shift) != (to.N, to.p.q,
                                                   to.shift):
             raise ValueError("reorder needs plans over the same domain")
         perm = getattr(self, "_reorder_perm", {}).get(to.order)
@@ -157,12 +172,21 @@ class LdePlan:
         return ntt._tmap(
             lambda a: jnp.take(jnp.asarray(a), perm, axis=-1), evals)
 
-    # -- host IO convenience ---------------------------------------------------
+    # -- host IO convenience (ring-level: never builds the flat plan) ----------
     def encode(self, coeffs) -> object:
-        return self.big.encode(np.asarray(coeffs, dtype=object))
+        arr = np.asarray(coeffs, dtype=object)
+        flat = self.ring.encode([int(v) for v in arr.reshape(-1)])
+        import jax
+
+        return jax.tree.map(lambda a: a.reshape(arr.shape), flat)
 
     def decode(self, evals) -> list:
-        return self.big.decode(evals)
+        import jax
+
+        leaves = jax.tree.leaves(evals)
+        shape = np.asarray(leaves[0]).shape
+        vals = self.ring.decode(evals)
+        return np.array(vals, dtype=object).reshape(shape)
 
     def spectrum_indices(self) -> np.ndarray:
         """Which domain point each output slot holds: slot t carries the
@@ -217,8 +241,8 @@ def fri_fold_tables(lde: LdePlan, final_size: int):
     """Per-layer twiddle tables u_i = 1/(2 * g_l * w_l^{br(i)}) in the
     bit-reversed output order (encoded for the plan ring's mul_tw), plus
     the (g_l, w_l) layer domains for the verifier."""
-    q = lde.big.p.q
-    omega = lde.big.p.omega
+    q = lde.p.q
+    omega = lde.p.omega
     half = pow(2, -1, q)
     tables, domains = [], []
     size, g, w = lde.N, lde.shift, omega
@@ -266,9 +290,9 @@ def fri_fold(lde: LdePlan, values, beta: int, table):
     v = _ntt._tmap(jnp.asarray, values)
     tw = _ntt._tmap(jnp.asarray, table)
     half_tw = _ntt._tmap(jnp.asarray,
-                         ring.encode_tw([pow(2, -1, lde.big.p.q)]))
+                         ring.encode_tw([pow(2, -1, lde.p.q)]))
     beta_tw = _ntt._tmap(jnp.asarray,
-                         ring.encode_tw([beta % lde.big.p.q]))
+                         ring.encode_tw([beta % lde.p.q]))
     return fold_j(v, tw, half_tw, beta_tw)
 
 
@@ -287,7 +311,7 @@ class FriProver:
                  num_queries: int = 16, hasher=None):
         from .modmath import GOLDILOCKS_Q
 
-        if lde.big.p.q != GOLDILOCKS_Q:
+        if lde.p.q != GOLDILOCKS_Q:
             raise ValueError("FRI prove/verify is defined over the "
                              "Goldilocks field (fold alone is ring-generic)")
         if lde.order != "bitrev":
@@ -395,7 +419,7 @@ def fri_verify(lde: LdePlan, proof: dict, final_size: int = 8,
     any of these lists is rejected before any hashing happens."""
     from .poseidon import PoseidonRef
 
-    q = lde.big.p.q
+    q = lde.p.q
     ref = PoseidonRef()
 
     def absorb(state, elems):
