@@ -158,6 +158,7 @@ def main():
         bench_sharded_rns(max(batch // 16, 32), iters)
         bench_poseidon(batch * 64, iters)
         bench_bgv(max(batch // 256, 4), iters)
+        bench_ckks(max(batch // 512, 2), iters)
 
     name, kind, baseline = cases[args.metric]
     rate = bench_case(name, batch, iters, kind)
@@ -333,6 +334,46 @@ def bench_bgv(batch, iters):
         f"{busy * 1e3:.2f} ms device/op-batch -> "
         f"{batch / busy:,.0f} ct-products/s device-only "
         f"({batch / wall:,.0f}/s end-to-end wall, tunnel-RPC-bound)")
+    return batch / busy
+
+
+def bench_ckks(batch, iters):
+    """CKKS mul + relin + rescale at the deployed shape (n = 2^14, 8-ch
+    192-bit Q, dnum=4) — tpu_ntt.ckks, round-5 surface.  Same traced
+    device-busy regime as bench_bgv (host-orchestrated scheme)."""
+    import tempfile
+    import time as _time
+
+    from tpu_ntt import profiling
+    from tpu_ntt.benchlib import _trace_device_busy
+    from tpu_ntt.ckks import CkksContext
+
+    rng = np.random.default_rng(41)
+    n = 1 << 14
+    ctx = CkksContext(n, channels=8, num_special=2, dnum=4)
+    sk, pk = ctx.keygen(rng)
+    rlk = ctx.relin_key(sk, rng)
+    z = rng.uniform(-1, 1, (batch, n // 2)) \
+        + 1j * rng.uniform(-1, 1, (batch, n // 2))
+    w = rng.uniform(-1, 1, (batch, n // 2)) \
+        + 1j * rng.uniform(-1, 1, (batch, n // 2))
+    ca = ctx.encrypt(pk, z, rng)
+    cb = ctx.encrypt(pk, w, rng)
+    out = ctx.rescale(ctx.mul_relin(ca, cb, rlk))
+    jax.block_until_ready(jax.tree.leaves(out.parts)[0])
+    K = max(iters[0], 3)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = _time.perf_counter()
+        with profiling.trace(td):
+            for _ in range(K):
+                o = ctx.rescale(ctx.mul_relin(ca, cb, rlk))
+                jax.block_until_ready(jax.tree.leaves(o.parts)[0])
+        wall = (_time.perf_counter() - t0) / K
+        busy = _trace_device_busy(td) / K
+    log(f"  ckks mul+relin+rescale n=16384 192-bit 8ch dnum=4: "
+        f"batch={batch} {busy * 1e3:.2f} ms device -> "
+        f"{batch / busy:,.0f} ct-products/s device-only "
+        f"({batch / wall:,.1f}/s end-to-end wall, tunnel-RPC-bound)")
     return batch / busy
 
 

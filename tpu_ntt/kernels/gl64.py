@@ -199,5 +199,39 @@ class GoldilocksPlan64(MxuPlan64):
         del ws
         return goldilocks_mul(x, w)
 
+    # -- split-radix left transform over the phi-fold ring ------------------
+    #
+    # Round-5 A/B (round-4 verdict weak #4): DESIGN.md §2.5c originally
+    # excluded this kernel from the split-radix win because the
+    # butterfly's constant multiply has no Shoup form at q > 2^63.  The
+    # constant multiply rides goldilocks_mul instead (the kernel's own
+    # elementwise primitive, no Shoup table needed), and the butterfly
+    # add/sub use the carry-aware Goldilocks forms (a + b can wrap 2^64
+    # at q > 2^63 — the generic add_mod64 would silently corrupt).
+    const_mul_special = True
+    #: default decided by the on-chip A/B (BENCH_NOTES round 5)
+    split_left = False
+
+    def _shoup_const(self, x, c_pair):
+        w_v, _ = c_pair  # the precomputed Shoup word is meaningless here
+        w = (jnp.full_like(x[0], U32(w_v >> 32)),
+             jnp.full_like(x[1], U32(w_v & 0xFFFFFFFF)))
+        return goldilocks_mul(x, w)
+
+    def _bf_add(self, a, b):
+        from ..modmath import add64, const64, ge64, select64, sub64
+
+        s = add64(a, b)
+        carried = (s[0] < a[0]) | ((s[0] == a[0]) & (s[1] < a[1]))
+        qq = const64(self.q, a[1])
+        return select64(carried | ge64(s, qq), sub64(s, qq), s)
+
+    def _bf_sub(self, a, b):
+        from ..modmath import add64, const64, ge64, select64, sub64
+
+        d = sub64(a, b)
+        qq = const64(self.q, a[1])
+        return select64(ge64(a, b), d, add64(d, qq))
+
     def _emul(self, x, table):
         return goldilocks_mul(x, table)

@@ -31,6 +31,18 @@ TPU-first design — this transform is a PERFECT fit for one MXU tile:
   the even halves of 64 polys and rows 64..127 the odd halves, so the 2x2
   slot products are contiguous-half slices + concat (Mosaic supports no
   strided slices; CLAUDE.md).
+* **Parity-in-matrix layout (v2, the default since round 5).**  The
+  measured bound of the pair layout was never the compute: 61% of
+  poly_mult's wall was the XLA-side even/odd LANE deinterleave building
+  the pair blocks (0.361 ms end-to-end vs 0.139 ms kernel at B=16384 on
+  chip).  v2 absorbs the parity split/merge into the transform matrices
+  (256-contraction from the RAW natural layout — grouping becomes a pure
+  reshape; MACs double on a ~9%-utilized MXU) and lifts poly_mult from
+  45.4M to 99.3M/s, cached to 116.7M/s, matvec-768 to 145M eff
+  slot-prod/s (BENCH_NOTES round 5).  ``parity_matrices = False``
+  restores the pair path (ablation record); the standalone FIPS
+  ntt/intt keep the pair path (serialization-order interop surface, not
+  the hot loop).
 
 Bit-exactness contract: every entry point equals the FIPS-203 golden
 (reference.kyber_ntt / kyber_intt / kyber_basemul) on [0, q) inputs —
@@ -139,6 +151,46 @@ class KyberPlan:
         )
         self.gam = jnp.asarray(np.tile(gam_mont, (LANES, 1)))
 
+        # ---- parity-in-matrix tables (round-5 layout redesign) -----------
+        # The measured bound of this kernel was never the MXU: 61% of
+        # poly_mult's time was the XLA-side even/odd LANE deinterleave
+        # feeding the pair layout (0.361 ms end-to-end vs 0.139 ms kernel
+        # at B=16384; the lane-granularity gather alone 0.108 ms —
+        # BENCH_NOTES round 5).  Fix: absorb the parity SELECTION into
+        # the transform matrices.  With X the raw natural (128-poly,
+        # 256-lane) coefficient block — a pure reshape of the user
+        # array, zero relayout — the even-half spectrum is
+        # X @ We with We[2j, i] = M[j, i] (odd rows zero), the odd half
+        # X @ Wo with the odd rows populated, and the inverse emits
+        # natural order directly through the column-interleaved pair
+        # (Ie[k, 2i] = Minv[k, i], Io[k, 2i+1] = Minv[k, i]) summed
+        # BEFORE one REDC (S < 2*128*q^2 = 2.8e9 < 2^32: exact).  MACs
+        # double (half of each 256-contraction is zeros) — the ~9%-busy
+        # MXU absorbs that for free; the basemul now runs on full
+        # 128-row tiles (was: half-slices of a 64-poly pair block).
+        def parity_rows(m):
+            out = np.zeros((2 * LANES, LANES), dtype=object)
+            out[0::2], out[1::2] = m, 0 * m
+            return out
+
+        def parity_rows_odd(m):
+            out = np.zeros((2 * LANES, LANES), dtype=object)
+            out[1::2] = m
+            return out
+
+        def parity_cols(m):
+            e = np.zeros((LANES, 2 * LANES), dtype=object)
+            o = np.zeros((LANES, 2 * LANES), dtype=object)
+            e[:, 0::2], o[:, 1::2] = m, m
+            return e, o
+
+        fwd_mont = fwd * r2 % q
+        self.wfe_mont = w_limbs(parity_rows(fwd_mont))
+        self.wfo_mont = w_limbs(parity_rows_odd(fwd_mont))
+        ie, io = parity_cols(inv)
+        self.wie_exit = w_limbs(ie)
+        self.wio_exit = w_limbs(io)
+
     # ------------------------------------------------------------------
     # In-kernel primitives
     # ------------------------------------------------------------------
@@ -151,13 +203,9 @@ class KyberPlan:
         t = mq_hi + (s != 0).astype(U32)
         return jnp.where(t >= self.q, t - U32(self.q), t)
 
-    def _mm(self, x, w):
-        """REDC( x @ W ) via four unsigned 6-bit-limb int8 MXU dots.
-
-        x: (128, 128) uint32 values < q (any domain); w: (2, 128, 128)
-        int8 limb stack of W (< 64 each).  True total
-        S = sum_j x_j * W_j < 128 * q^2 = 1.42e9 < 2^31, so the int32
-        accumulations and the single-word recombination are exact."""
+    def _dots(self, x, w):
+        """The four unsigned 6-bit-limb int8 MXU dots of x @ W, kept as
+        int32 partials (shape-generic: (M, K) @ (2, K, N))."""
         i8, i32 = jnp.int8, jnp.int32
         x0 = (x & 63).astype(i32).astype(i8)
         x1 = (x >> 6).astype(i32).astype(i8)
@@ -167,7 +215,29 @@ class KyberPlan:
             x1, w0, preferred_element_type=i32
         )
         d2 = jnp.dot(x1, w1, preferred_element_type=i32)
+        return d0, dm, d2
+
+    def _mm(self, x, w):
+        """REDC( x @ W ) via four unsigned 6-bit-limb int8 MXU dots.
+
+        x: (M, K) uint32 values < q (any domain); w: (2, K, N) int8 limb
+        stack of W (< 64 each).  True total S = sum_j x_j * W_j
+        <= 128 * q^2 = 1.42e9 < 2^31 for every matrix here (the K = 256
+        parity matrices have half their rows zero), so the int32
+        accumulations and the single-word recombination are exact."""
+        d0, dm, d2 = self._dots(x, w)
         s = d0.astype(U32) + (dm.astype(U32) << 6) + (d2.astype(U32) << 12)
+        return self._redc32(s)
+
+    def _mm_sum2(self, xa, wa, xb, wb):
+        """REDC( xa @ Wa + xb @ Wb ) — both products accumulated BEFORE
+        one REDC (the v2 inverse: even + odd column-interleaved halves).
+        True total <= 2 * 128 * q^2 = 2.8e9 < 2^32: recombination exact
+        in uint32, REDC valid (S < q*R)."""
+        a0, am, a2 = self._dots(xa, wa)
+        b0, bm, b2 = self._dots(xb, wb)
+        s = ((a0 + b0).astype(U32) + ((am + bm).astype(U32) << 6)
+             + ((a2 + b2).astype(U32) << 12))
         return self._redc32(s)
 
     def _basemul(self, a, b, gam):
@@ -194,6 +264,120 @@ class KyberPlan:
             fa = self._mm(a_ref[g], wf)
             fb = self._mm(b_ref[g], wf)
             out_ref[g] = self._mm(self._basemul(fa, fb, gam), wi)
+
+    def _basemul_v2(self, ae, ao, be, bo, gam):
+        """128 slot products on full 128-row tiles (v2 layout: even and
+        odd halves are separate tiles, no half-slicing)."""
+        q, qp = self.q, self.q_prime
+        mont = lambda x, y: mont_mul32(x, y, q, qp)
+        ce = add_mod32(mont(ae, be), mont(mont(ao, bo), gam), q)
+        co = add_mod32(mont(ae, bo), mont(ao, be), q)
+        return ce, co
+
+    def _poly_mult_kernel_v2(self, a_ref, b_ref, wfe, wfo, wie, wio,
+                             gam_ref, out_ref):
+        """Parity-in-matrix body: raw natural (128-poly, 256-lane) blocks
+        in and out (grouping = reshape, zero relayout — see the table
+        comment in __init__); the parity split/merge rides the matmul
+        contractions, the basemul runs on full 128-row tiles."""
+        gam = gam_ref[...]
+        for g in range(a_ref.shape[0]):
+            X, Y = a_ref[g], b_ref[g]
+            ae, ao = self._mm(X, wfe), self._mm(X, wfo)
+            be, bo = self._mm(Y, wfe), self._mm(Y, wfo)
+            ce, co = self._basemul_v2(ae, ao, be, bo, gam)
+            out_ref[g] = self._mm_sum2(ce, wie, co, wio)
+
+    def _spectrum_kernel_v2(self, x_ref, wfe, wfo, wie, wio, gam_ref,
+                            out_ref):
+        """Cacheable v2 spectrum: lanes [a_e-hat (128) | a_o-hat (128)]
+        per row (backend-internal layout, Montgomery domain)."""
+        del wie, wio, gam_ref
+        for g in range(x_ref.shape[0]):
+            X = x_ref[g]
+            out_ref[g] = jnp.concatenate(
+                [self._mm(X, wfe), self._mm(X, wfo)], axis=-1)
+
+    def _cached_kernel_v2(self, a_ref, spec_ref, wfe, wfo, wie, wio,
+                          gam_ref, out_ref):
+        gam = gam_ref[...]
+        for g in range(a_ref.shape[0]):
+            X, S = a_ref[g], spec_ref[g]
+            ae, ao = self._mm(X, wfe), self._mm(X, wfo)
+            ce, co = self._basemul_v2(ae, ao, S[:, :LANES], S[:, LANES:],
+                                      gam)
+            out_ref[g] = self._mm_sum2(ce, wie, co, wio)
+
+    def _make_dot_kernel_v2(self, cached: bool):
+        def kernel(a_ref, b_ref, wfe, wfo, wie, wio, gam_ref, out_ref):
+            gam = gam_ref[...]
+            q = self.q
+            for g in range(a_ref.shape[0]):
+                acc_e = acc_o = None
+                for k in range(a_ref.shape[1]):
+                    X = a_ref[g, k]
+                    ae, ao = self._mm(X, wfe), self._mm(X, wfo)
+                    if cached:
+                        S = b_ref[g, k]
+                        be, bo = S[:, :LANES], S[:, LANES:]
+                    else:
+                        Y = b_ref[g, k]
+                        be, bo = self._mm(Y, wfe), self._mm(Y, wfo)
+                    ce, co = self._basemul_v2(ae, ao, be, bo, gam)
+                    if acc_e is None:
+                        acc_e, acc_o = ce, co
+                    else:
+                        acc_e = add_mod32(acc_e, ce, q)
+                        acc_o = add_mod32(acc_o, co, q)
+                out_ref[g] = self._mm_sum2(acc_e, wie, acc_o, wio)
+
+        return kernel
+
+    def _make_matvec_kernel_v2(self, k: int, l: int):
+        def kernel(s_ref, a_ref, wfe, wfo, wie, wio, gam_ref, out_ref):
+            gam = gam_ref[...]
+            q = self.q
+            for g in range(s_ref.shape[0]):
+                fs = [(self._mm(s_ref[g, j], wfe),
+                       self._mm(s_ref[g, j], wfo)) for j in range(l)]
+                for i in range(k):
+                    acc_e = acc_o = None
+                    for j in range(l):
+                        S = a_ref[i, j]
+                        ce, co = self._basemul_v2(
+                            fs[j][0], fs[j][1], S[:, :LANES], S[:, LANES:],
+                            gam)
+                        if acc_e is None:
+                            acc_e, acc_o = ce, co
+                        else:
+                            acc_e = add_mod32(acc_e, ce, q)
+                            acc_o = add_mod32(acc_o, co, q)
+                    out_ref[g, i] = self._mm_sum2(acc_e, wie, acc_o, wio)
+
+        return kernel
+
+    def _poly_mult_kernel_st(self, a_ref, b_ref, wf, wi, gam_ref, out_ref):
+        """Super-tile variant (round-5 Kyber roofline A/B): the per-group
+        (128, 128) @ (128, 128) matmuls are too SHORT to stream the
+        systolic array — M = 128 barely covers the MXU pipeline latency
+        and re-pays the weight-load per group (the hypothesized bound
+        behind the 11.5%-of-peak roofline row, DESIGN.md §2.5b).  Here
+        all gps groups' rows are collapsed into ONE (gps*128, 128) LHS
+        per limb product (M = 1024 at gps=8), so each weight load is
+        amortized 8x; the base-case products stay per-group (static
+        contiguous row slices — elementwise VPU work gains nothing from
+        batching)."""
+        gam = gam_ref[...]
+        G = a_ref.shape[0]
+        af = a_ref[...].reshape(G * LANES, LANES)
+        bf = b_ref[...].reshape(G * LANES, LANES)
+        fa = self._mm(af, wf)
+        fb = self._mm(bf, wf)
+        c = jnp.concatenate(
+            [self._basemul(fa[g * LANES:(g + 1) * LANES],
+                           fb[g * LANES:(g + 1) * LANES], gam)
+             for g in range(G)], axis=0)
+        out_ref[...] = self._mm(c, wi).reshape(G, LANES, LANES)
 
     def _cached_kernel(self, a_ref, spec_ref, wf, wi, gam_ref, out_ref):
         gam = gam_ref[...]
@@ -292,13 +476,70 @@ class KyberPlan:
     # Public entry points ((B, 256) uint32 in FIPS coefficient/NTT order)
     # ------------------------------------------------------------------
 
+    #: route poly_mult through the super-tile kernel body (M = gps*128
+    #: matmuls instead of per-group M = 128) — measured +2.6% only: the
+    #: MXU was never the bound (BENCH_NOTES round 5)
+    supertile = False
+    #: parity-in-matrix natural-layout body (the measured winner)
+    parity_matrices = True
+
+    def _eff_gps_v2(self, batch: int) -> int:
+        groups = -(-batch // LANES)  # v2 groups hold 128 polys
+        return max(1, min(self.groups_per_step, groups))
+
+    def _group_v2(self, x):
+        """(B, 256) -> (G, 128, 256) raw natural blocks: pure reshape."""
+        b = x.shape[0]
+        step = LANES * self._eff_gps_v2(b)
+        pad = (-b) % step
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, KYBER_N), U32)], axis=0)
+        return x.reshape(-1, LANES, KYBER_N), b
+
+    def _call_v2(self, kernel, data_args, interpret=False):
+        gps = self._eff_gps_v2(data_args[0].shape[0] * LANES)
+        g = data_args[0].shape[0]
+        data_spec = pl.BlockSpec(
+            (gps, LANES, KYBER_N), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        wf_spec = pl.BlockSpec(
+            (2, KYBER_N, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        wi_spec = pl.BlockSpec(
+            (2, LANES, KYBER_N), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tbl_spec = pl.BlockSpec(
+            (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(g // gps,),
+            out_shape=jax.ShapeDtypeStruct((g, LANES, KYBER_N), U32),
+            in_specs=[data_spec] * len(data_args)
+            + [wf_spec, wf_spec, wi_spec, wi_spec, tbl_spec],
+            out_specs=data_spec,
+            interpret=interpret,
+        )(*data_args, self.wfe_mont, self.wfo_mont, self.wie_exit,
+          self.wio_exit, self.gam)
+
     def poly_mult(self, a, b, interpret: bool = False):
         """Negacyclic product in Z_q[x]/(x^256 + 1) via the incomplete NTT:
         two forwards, 128 base-case products, one inverse — one kernel."""
+        if self.parity_matrices:
+            ga, bsz = self._group_v2(a)
+            gb, _ = self._group_v2(b)
+            out = self._call_v2(self._poly_mult_kernel_v2, (ga, gb),
+                                interpret=interpret)
+            return out.reshape(-1, KYBER_N)[:bsz]
         ga, bsz = self._group(a)
         gb, _ = self._group(b)
+        body = (self._poly_mult_kernel_st if self.supertile
+                else self._poly_mult_kernel)
         out = self._call(
-            self._poly_mult_kernel, (ga, gb),
+            body, (ga, gb),
             (self.wf_mont, self.wi_exit, self.gam), interpret=interpret,
         )
         return self._ungroup(out, bsz)
@@ -324,7 +565,15 @@ class KyberPlan:
 
     def spectrum(self, x, interpret: bool = False):
         """Cacheable operand spectrum (internal Montgomery domain) for
-        ``poly_mult_cached`` / ``dot_cached`` / ``matvec``."""
+        ``poly_mult_cached`` / ``dot_cached`` / ``matvec``.  Layout is
+        BACKEND-INTERNAL (dispatch contract): v2 emits [e-hat | o-hat]
+        lane-concatenated rows, the pair path FIPS-interleaved rows —
+        always consume spectra with the same plan/flags."""
+        if self.parity_matrices:
+            gx, bsz = self._group_v2(x)
+            out = self._call_v2(self._spectrum_kernel_v2, (gx,),
+                                interpret=interpret)
+            return out.reshape(-1, KYBER_N)[:bsz]
         gx, bsz = self._group(x)
         out = self._call(
             self._transform_kernel, (gx,), (self.wf_mont,),
@@ -335,6 +584,12 @@ class KyberPlan:
     def poly_mult_cached(self, a, spec, interpret: bool = False):
         """Product against a precomputed ``spectrum`` — one forward
         instead of two (fixed-operand workloads)."""
+        if self.parity_matrices:
+            ga, bsz = self._group_v2(a)
+            gs, _ = self._group_v2(spec)
+            out = self._call_v2(self._cached_kernel_v2, (ga, gs),
+                                interpret=interpret)
+            return out.reshape(-1, KYBER_N)[:bsz]
         ga, bsz = self._group(a)
         gs, _ = self._group(spec)
         out = self._call(
@@ -347,6 +602,48 @@ class KyberPlan:
         K = a.shape[0]
         if not 1 <= K <= 8:
             raise ValueError(f"dot supports 1 <= K <= 8 pairs, got {K}")
+        if self.parity_matrices:
+            def stack2(x):
+                gs, bsz = [], None
+                for k in range(K):
+                    gk, bsz = self._group_v2(x[k])
+                    gs.append(gk)
+                return jnp.stack(gs, axis=1), bsz
+
+            ga, bsz = stack2(a)
+            gb, _ = stack2(b)
+            g = ga.shape[0]
+            gps = self._eff_gps_v2(g * LANES)
+            data_spec = pl.BlockSpec(
+                (gps, K, LANES, KYBER_N), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_spec = pl.BlockSpec(
+                (gps, LANES, KYBER_N), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            wf_spec = pl.BlockSpec(
+                (2, KYBER_N, LANES), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            wi_spec = pl.BlockSpec(
+                (2, LANES, KYBER_N), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            tbl_spec = pl.BlockSpec(
+                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            out = pl.pallas_call(
+                self._make_dot_kernel_v2(cached),
+                grid=(g // gps,),
+                out_shape=jax.ShapeDtypeStruct((g, LANES, KYBER_N), U32),
+                in_specs=[data_spec] * 2
+                + [wf_spec, wf_spec, wi_spec, wi_spec, tbl_spec],
+                out_specs=out_spec,
+                interpret=interpret,
+            )(ga, gb, self.wfe_mont, self.wfo_mont, self.wie_exit,
+              self.wio_exit, self.gam)
+            return out.reshape(-1, KYBER_N)[:bsz]
 
         def stack(x):
             gs, bsz = [], None
@@ -401,6 +698,8 @@ class KyberPlan:
         to (k, l, 128, 128) group blocks for ``matvec``."""
         k, l = A.shape[0], A.shape[1]
         spec = self.spectrum(A.reshape(k * l, KYBER_N), interpret=interpret)
+        if self.parity_matrices:
+            return self._spec_blocks_v2(spec.reshape(k, l, KYBER_N))
         return self._spec_blocks(spec.reshape(k, l, KYBER_N))
 
     def ntt_domain_blocks(self, A_hat):
@@ -411,7 +710,20 @@ class KyberPlan:
         # enter the Montgomery domain: one elementwise scale on host/XLA
         mont = _to_mont_xla(jnp.asarray(A_hat, dtype=U32), self.q,
                             self.q_prime, r)
+        if self.parity_matrices:
+            # external serialization order -> the v2 [e|o] lane-concat
+            # layout (one-time per key, XLA-side)
+            k, l = mont.shape[0], mont.shape[1]
+            rr = mont.reshape(k, l, LANES, 2)
+            v2 = jnp.concatenate([rr[..., 0], rr[..., 1]], axis=-1)
+            return self._spec_blocks_v2(v2)
         return self._spec_blocks(mont)
+
+    def _spec_blocks_v2(self, spec):
+        """(k, l, 256) v2-layout spectra -> (k, l, 128, 256) row-tiled
+        blocks (each row identical: one fixed polynomial per matrix
+        entry, broadcast over the 128 batch rows of a group)."""
+        return jnp.tile(spec[:, :, None, :], (1, 1, LANES, 1))
 
     def _spec_blocks(self, spec):
         k, l = spec.shape[0], spec.shape[1]
@@ -430,6 +742,50 @@ class KyberPlan:
             raise ValueError(f"s has {s.shape[0]} rows, A has l={l} columns")
         if not (1 <= l <= 8 and 1 <= k <= 8):
             raise ValueError(f"matvec supports 1 <= k, l <= 8, got {k=} {l=}")
+        if self.parity_matrices:
+            gs_list, bsz = [], None
+            for j in range(l):
+                gj, bsz = self._group_v2(s[j])
+                gs_list.append(gj)
+            gs = jnp.stack(gs_list, axis=1)
+            g = gs.shape[0]
+            gps = self._eff_gps_v2(g * LANES)
+            data_spec = pl.BlockSpec(
+                (gps, l, LANES, KYBER_N), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            a_spec = pl.BlockSpec(
+                (k, l, LANES, KYBER_N), lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_spec = pl.BlockSpec(
+                (gps, k, LANES, KYBER_N), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            wf_spec = pl.BlockSpec(
+                (2, KYBER_N, LANES), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            wi_spec = pl.BlockSpec(
+                (2, LANES, KYBER_N), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            tbl_spec = pl.BlockSpec(
+                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            out = pl.pallas_call(
+                self._make_matvec_kernel_v2(k, l),
+                grid=(g // gps,),
+                out_shape=jax.ShapeDtypeStruct((g, k, LANES, KYBER_N),
+                                               U32),
+                in_specs=[data_spec, a_spec, wf_spec, wf_spec, wi_spec,
+                          wi_spec, tbl_spec],
+                out_specs=out_spec,
+                interpret=interpret,
+            )(gs, A_blocks, self.wfe_mont, self.wfo_mont, self.wie_exit,
+              self.wio_exit, self.gam)
+            return jnp.stack([out[:, i].reshape(-1, KYBER_N)[:bsz]
+                              for i in range(k)])
         gs_list, bsz = [], None
         for j in range(l):
             gj, bsz = self._group(s[j])

@@ -365,7 +365,7 @@ class MxuPlan64:
         # equally-split inverse — no data movement anywhere.  Toggle:
         # ``split_left`` (measured A/B; requires q < 2^62 for the
         # constant Shoup multiply, so the Goldilocks subclass is out).
-        if n1 == 2 * LANES and q < (1 << 62):
+        if n1 == 2 * LANES and (q < (1 << 62) or self.const_mul_special):
             w1sq = pow(w1, 2, q)    # primitive 128th root
             w1isq = pow(w1i, 2, q)
 
@@ -977,6 +977,19 @@ class MxuPlan64:
     #: other entry points keep the dense left transform.
     split_left = True
 
+    #: subclasses whose ring has a special-form constant multiply (the
+    #: Goldilocks phi-fold) may enable the split tables past the q < 2^62
+    #: Shoup window by overriding _shoup_const/_bf_add/_bf_sub
+    const_mul_special = False
+
+    def _bf_add(self, a, b):
+        """Butterfly mod-add (split-radix bodies); generic form assumes
+        2q < 2^64."""
+        return add_mod64(a, b, self.q)
+
+    def _bf_sub(self, a, b):
+        return sub_mod64(a, b, self.q)
+
     def _shoup_const(self, x, c_pair):
         """Strict Shoup multiply by a COMPILE-TIME scalar (w, w') pair."""
         w_v, ws_v = c_pair
@@ -996,8 +1009,8 @@ class MxuPlan64:
         h = LANES
         xt = (hi[:h], lo[:h])
         t = self._shoup_const((hi[h:], lo[h:]), self._split_P)
-        u = add_mod64(xt, t, self.q)
-        v = sub_mod64(xt, t, self.q)
+        u = self._bf_add(xt, t)
+        v = self._bf_sub(xt, t)
         e = self._matmul_mont(u, we, left=True, final=False)
         o = self._matmul_mont(v, wo, left=True, final=False)
         return (jnp.concatenate([e[0], o[0]], axis=0),
@@ -1014,8 +1027,8 @@ class MxuPlan64:
         h = LANES
         A = self._matmul_mont((hi[:h], lo[:h]), wa, left=True)
         B = self._matmul_mont((hi[h:], lo[h:]), wb, left=True)
-        top = add_mod64(A, B, self.q)
-        bot = self._shoup_const(sub_mod64(A, B, self.q), self._split_Pi)
+        top = self._bf_add(A, B)
+        bot = self._shoup_const(self._bf_sub(A, B), self._split_Pi)
         return (jnp.concatenate([top[0], bot[0]], axis=0),
                 jnp.concatenate([top[1], bot[1]], axis=0))
 

@@ -337,10 +337,18 @@ class FriProver:
         return ref.permute(list(state) + padded)[:4]
 
     def prove(self, values) -> dict:
+        """DEVICE-RESIDENT commit: layer codewords and every Merkle
+        level stay on device; the host sees only the roots (one stacked
+        fetch per layer), the final codeword, and ONE jitted gather per
+        layer for the query openings (~KB).  The first implementation
+        materialized every layer + level to numpy — ~250 MB D2H per
+        N=2^22 proof, 81 s wall over the tunnel (measured round 5); the
+        gathered form fetches ~20 KB and is dispatch-bound instead."""
+        import jax
         import jax.numpy as jnp
 
         from . import ntt as _ntt
-        from .poseidon import digest_ints, from_pairs, merkle_levels
+        from .poseidon import from_pairs, merkle_levels
 
         v = _ntt._tmap(jnp.asarray, values)
         roots, betas = [], []
@@ -352,12 +360,12 @@ class FriProver:
                      jnp.stack([lo[0::2], lo[1::2]], axis=-1))
             digests = self.hasher.hash_rows_j(pairs)
             levels = merkle_levels(self.hasher, digests)
-            root = digest_ints(levels[-1])
+            top = np.asarray(_root_stack(levels[-1]))  # ONE 8-lane fetch
+            root = [int((np.uint64(top[k]) << np.uint64(32))
+                        | np.uint64(top[4 + k])) for k in range(4)]
             roots.append(root)
-            layer_values.append((np.asarray(hi), np.asarray(lo)))
-            layer_levels.append([
-                [np.asarray(d[0]) for d in lvl] +
-                [np.asarray(d[1]) for d in lvl] for lvl in levels])
+            layer_values.append((hi, lo))
+            layer_levels.append(levels)
             transcript = self._absorb(transcript, root)
             beta = transcript[0]
             betas.append(beta)
@@ -370,37 +378,85 @@ class FriProver:
         # queries — ADVICE round 4)
         for off in range(0, len(final), 4):
             transcript = self._absorb(transcript, final[off:off + 4])
-        queries = []
         n0 = self.domains[0][2]
+        # host-derived query index chains (idx halves per layer)
+        idx0 = []
         for qi in range(self.num_queries):
             seed = self._absorb(transcript, [qi + 1, 0, 0, 0])
             # n0 is a power of two: low bits are exactly uniform (the
             # mod-n0 form had a negligible-but-avoidable bias)
-            idx = seed[0] & (n0 - 1)
+            idx0.append(seed[0] & (n0 - 1))
+        per_layer = []
+        for li, (vals, levels) in enumerate(zip(layer_values,
+                                                layer_levels)):
+            idxs = jnp.asarray([i >> li for i in idx0], dtype=jnp.int32)
+            got = jax.device_get(_gather_layer(vals, levels, idxs))
+            per_layer.append(got)
+        queries = []
+        for qi in range(self.num_queries):
+            idx = idx0[qi]
             layers = []
-            for li, (vals, levels) in enumerate(zip(layer_values,
-                                                    layer_levels)):
-                pair_i = (idx >> 1)
-                a = int((np.uint64(vals[0][idx & ~1]) << np.uint64(32))
-                        | np.uint64(vals[1][idx & ~1]))
-                b = int((np.uint64(vals[0][idx | 1]) << np.uint64(32))
-                        | np.uint64(vals[1][idx | 1]))
-                path = []
-                node = pair_i
-                for lvl in levels[:-1]:
-                    sib = node ^ 1
-                    path.append([
-                        int((np.uint64(lvl[k][sib]) << np.uint64(32))
-                            | np.uint64(lvl[4 + k][sib]))
-                        for k in range(4)])
-                    node >>= 1
-                layers.append({"pair": (a, b), "path": path})
-                idx = pair_i
+            for li in range(len(layer_values)):
+                ab, path = per_layer[li]
+                a = int((np.uint64(ab[0][qi]) << np.uint64(32))
+                        | np.uint64(ab[2][qi]))
+                b = int((np.uint64(ab[1][qi]) << np.uint64(32))
+                        | np.uint64(ab[3][qi]))
+                layers.append({"pair": (a, b), "path": [
+                    [int((np.uint64(lvl[k][qi]) << np.uint64(32))
+                         | np.uint64(lvl[4 + k][qi])) for k in range(4)]
+                    for lvl in path]})
+                idx >>= 1
             queries.append(layers)
         return {"roots": roots, "final": final, "queries": queries,
                 "n0": n0, "blowup": self.lde.blowup,
                 "final_size": self.final_size,
                 "num_queries": self.num_queries}
+
+
+def _root_stack(digest):
+    """4-pair root digest -> one stacked (8,) array (hi lanes then lo
+    lanes) so the host needs a single device fetch per layer."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([jnp.asarray(d[0]).reshape(-1)
+                            for d in digest] +
+                           [jnp.asarray(d[1]).reshape(-1)
+                            for d in digest])
+
+
+@functools.cache
+def _gather_jit():
+    """One jitted query-opening gather per layer STRUCTURE (level count):
+    picks the queried value pairs and every sibling digest along each
+    Merkle path in a single device call, returning a small pytree the
+    host fetches once.  This is what keeps the prover's host traffic at
+    ~KB instead of materializing whole layers (measured 81 s -> see
+    BENCH_NOTES round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(vals, levels, idxs):
+        hi, lo = vals
+        even = idxs & ~1
+        odd = idxs | 1
+        ab = (jnp.take(hi, even), jnp.take(hi, odd),
+              jnp.take(lo, even), jnp.take(lo, odd))
+        node = idxs >> 1
+        path = []
+        for lvl in levels[:-1]:
+            sib = node ^ 1
+            path.append([jnp.take(jnp.asarray(d[0]), sib) for d in lvl] +
+                        [jnp.take(jnp.asarray(d[1]), sib) for d in lvl])
+            node = node >> 1
+        return ab, path
+
+    return g
+
+
+def _gather_layer(vals, levels, idxs):
+    return _gather_jit()(vals, levels, idxs)
 
 
 def fri_verify(lde: LdePlan, proof: dict, final_size: int = 8,
