@@ -209,8 +209,11 @@ class GoldilocksPlan64(MxuPlan64):
     # add/sub use the carry-aware Goldilocks forms (a + b can wrap 2^64
     # at q > 2^63 — the generic add_mod64 would silently corrupt).
     const_mul_special = True
-    #: default decided by the on-chip A/B (BENCH_NOTES round 5)
-    split_left = False
+    #: ON: the on-chip A/B measured dense 34.6k -> split 48.8k nwc/s at
+    #: n=32768 B=256 (+41%, bit-identical; BENCH_NOTES round 5) — the
+    #: same win band as the generic mxu64 (+35%), refuting the round-4
+    #: "no constant multiply" exclusion
+    split_left = True
 
     def _shoup_const(self, x, c_pair):
         w_v, _ = c_pair  # the precomputed Shoup word is meaningless here
