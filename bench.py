@@ -295,12 +295,15 @@ def bench_poseidon(batch, iters):
 
 
 def bench_bgv(batch, iters):
-    """BGV ciphertext multiply + hybrid relinearization (tpu_ntt.fhe;
-    round-4 surface): the FHE scheme hot path, n=4096 over a 4x24-bit
-    RNS basis, keys cached as spectra at keygen."""
-    import time as _time
-
-    from tpu_ntt.fhe import BgvContext
+    """BGV ciphertext multiply + hybrid relinearization (tpu_ntt.fhe):
+    the FHE scheme hot path, n=4096 over a 4x24-bit RNS basis, keys
+    cached as spectra at keygen.  The WHOLE op compiles as ONE jitted
+    program (output parts chain as the next input) and is timed with
+    the canonical fori-loop slope — the round-4 trace-window form was
+    unstable on the tunneled backend (6.3/0.53/0.40 ms for the same op
+    depending on forcing; BENCH_NOTES round 5)."""
+    from tpu_ntt.benchlib import device_seconds_per_iter_binary
+    from tpu_ntt.fhe import BgvContext, Ciphertext
 
     rng = np.random.default_rng(37)
     ctx = BgvContext(4096, 256, channels=4, dnum=2)
@@ -310,43 +313,28 @@ def bench_bgv(batch, iters):
     m2 = rng.integers(0, 256, (batch, 4096))
     c1 = ctx.encrypt(pk, m1, rng)
     c2 = ctx.encrypt(pk, m2, rng)
-    # warm (compiles every stage program)
-    out = ctx.mul_relin(c1, c2, rlk)
-    jax.block_until_ready(out.parts[0][0])
-    # device-busy via trace (the scheme is host-orchestrated: wall time
-    # over the tunnel is RPC-bound, same regime as NttStream/bigint —
-    # BENCH_NOTES; each iteration is materialized INSIDE the window)
-    import tempfile
 
-    from tpu_ntt import profiling
-    from tpu_ntt.benchlib import _trace_device_busy
+    def step(pa, pb):
+        return ctx.mul_relin(Ciphertext(ring=ctx.ring, parts=pa),
+                             Ciphertext(ring=ctx.ring, parts=pb),
+                             rlk).parts
 
-    K = max(iters[0], 3)
-    with tempfile.TemporaryDirectory() as td:
-        t0 = _time.perf_counter()
-        with profiling.trace(td):
-            for _ in range(K):
-                o = ctx.mul_relin(c1, c2, rlk)
-                jax.block_until_ready(jax.tree.leaves(o.parts)[0])
-        wall = (_time.perf_counter() - t0) / K
-        busy = _trace_device_busy(td) / K
-    log(f"  bgv mul+relin n=4096 96-bit 4ch dnum=2: batch={batch} "
-        f"{busy * 1e3:.2f} ms device/op-batch -> "
-        f"{batch / busy:,.0f} ct-products/s device-only "
-        f"({batch / wall:,.0f}/s end-to-end wall, tunnel-RPC-bound)")
-    return batch / busy
+    jstep = jax.jit(step)
+    dt = device_seconds_per_iter_binary(jstep, c1.parts, c2.parts,
+                                        traced=True, iters=iters)
+    log(f"  bgv mul+relin n=4096 96-bit 4ch dnum=2 (one jitted program): "
+        f"batch={batch} {dt * 1e3:.2f} ms -> "
+        f"{batch / dt:,.0f} ct-products/s")
+    return batch / dt
 
 
 def bench_ckks(batch, iters):
-    """CKKS mul + relin + rescale at the deployed shape (n = 2^14, 8-ch
-    192-bit Q, dnum=4) — tpu_ntt.ckks, round-5 surface.  Same traced
-    device-busy regime as bench_bgv (host-orchestrated scheme)."""
-    import tempfile
-    import time as _time
-
-    from tpu_ntt import profiling
-    from tpu_ntt.benchlib import _trace_device_busy
-    from tpu_ntt.ckks import CkksContext
+    """CKKS mul + relin at the deployed shape (n = 2^14, 8-ch 192-bit Q,
+    dnum=4) — tpu_ntt.ckks, round-5 surface; same whole-op-jit slope
+    methodology as bench_bgv (rescale changes the basis size so it is
+    benched in its own ledger rows, not chained here)."""
+    from tpu_ntt.benchlib import device_seconds_per_iter_binary
+    from tpu_ntt.ckks import CkksCiphertext, CkksContext
 
     rng = np.random.default_rng(41)
     n = 1 << 14
@@ -359,22 +347,19 @@ def bench_ckks(batch, iters):
         + 1j * rng.uniform(-1, 1, (batch, n // 2))
     ca = ctx.encrypt(pk, z, rng)
     cb = ctx.encrypt(pk, w, rng)
-    out = ctx.rescale(ctx.mul_relin(ca, cb, rlk))
-    jax.block_until_ready(jax.tree.leaves(out.parts)[0])
-    K = max(iters[0], 3)
-    with tempfile.TemporaryDirectory() as td:
-        t0 = _time.perf_counter()
-        with profiling.trace(td):
-            for _ in range(K):
-                o = ctx.rescale(ctx.mul_relin(ca, cb, rlk))
-                jax.block_until_ready(jax.tree.leaves(o.parts)[0])
-        wall = (_time.perf_counter() - t0) / K
-        busy = _trace_device_busy(td) / K
-    log(f"  ckks mul+relin+rescale n=16384 192-bit 8ch dnum=4: "
-        f"batch={batch} {busy * 1e3:.2f} ms device -> "
-        f"{batch / busy:,.0f} ct-products/s device-only "
-        f"({batch / wall:,.1f}/s end-to-end wall, tunnel-RPC-bound)")
-    return batch / busy
+
+    def step(pa, pb):
+        a = CkksCiphertext(ring=ctx.ring, parts=pa, scale=ctx.scale)
+        b = CkksCiphertext(ring=ctx.ring, parts=pb, scale=ctx.scale)
+        return ctx.mul_relin(a, b, rlk).parts[:2]
+
+    jstep = jax.jit(step)
+    dt = device_seconds_per_iter_binary(jstep, ca.parts, cb.parts,
+                                        traced=True, iters=iters)
+    log(f"  ckks mul+relin n=16384 192-bit 8ch dnum=4 (one jitted "
+        f"program): batch={batch} {dt * 1e3:.2f} ms -> "
+        f"{batch / dt:,.0f} ct-products/s")
+    return batch / dt
 
 
 def bench_kyber(batch, iters):
