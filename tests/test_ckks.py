@@ -210,3 +210,41 @@ def test_batch_shapes(ctx, keys):
     got = ctx.decrypt(sk, ct)
     assert got.shape == (B, N // 2)
     assert np.max(np.abs(got - z)) < _fresh_bound(ctx)
+
+
+def test_sharded_ckks_parity():
+    """ShardedCkks mul+relin+rescale / rotation == CkksContext at the
+    residue level: the full approximate-HE hot loop on the mesh (scheme
+    pair complete next to ShardedBgv)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpu_ntt.ckks import ShardedCkks
+
+    ctx = CkksContext(N, channels=4, num_special=2, dnum=2)
+    rng = np.random.default_rng(2024)
+    sk, pk = ctx.keygen(rng)
+    rlk = ctx.relin_key(sk, rng)
+    rk = ctx.rotation_key(sk, 1, rng)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("ch",))
+    sc = ShardedCkks(ctx, mesh2)
+
+    z = _rand_z(rng, N // 2)
+    w = _rand_z(rng, N // 2)
+    ca, cb = ctx.encrypt(pk, z, rng), ctx.encrypt(pk, w, rng)
+    sa, sb = sc.put_ct(ca), sc.put_ct(cb)
+
+    want = ctx.rescale(ctx.mul_relin(ca, cb, rlk))
+    got = sc.rescale(sc.mul_relin(sa, sb, rlk))
+    assert got.scale == want.scale
+    for pa, pb in zip(want.parts, [got.sring.get(x) for x in got.parts]):
+        for a_, b_ in zip(pa, pb):
+            assert np.array_equal(np.asarray(a_), b_)
+    assert np.max(np.abs(sc.decrypt(sk, got)[0] - z * w)) \
+        < 8 * _fresh_bound(ctx)
+
+    r_p = ctx.rotate(ca, 1, rk)
+    r_s = sc.rotate(sa, 1, rk)
+    for pa, pb in zip(r_p.parts, [r_s.sring.get(x) for x in r_s.parts]):
+        for a_, b_ in zip(pa, pb):
+            assert np.array_equal(np.asarray(a_), b_)

@@ -441,3 +441,176 @@ class CkksContext(RlweSampler):
         u0, u1 = self._key_switch(ring, c1, gk)
         return CkksCiphertext(ring=ring, parts=(ring.add(c0, u0), u1),
                               scale=ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# CKKS on the device mesh (channel-sharded ciphertext algebra)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedCkksCiphertext:
+    """Ciphertext whose residue parts live as stacked (k, ..., n) arrays
+    on a channel-sharded ring (tpu_ntt.rns_sharded); same scale
+    semantics as :class:`CkksCiphertext`."""
+
+    sring: object  # ShardedRnsRing at this ciphertext's level
+    parts: tuple
+    scale: Fraction
+
+    @property
+    def degree(self) -> int:
+        return len(self.parts) - 1
+
+
+class ShardedCkks:
+    """CKKS ciphertext algebra on the channel-sharded RNS ring — the
+    mesh form of :class:`CkksContext`, completing the scheme pair next
+    to fhe.ShardedBgv (SURVEY.md §2.8's mesh mandate on the op that
+    dominates CKKS cost: hybrid key switching).  Encode/keygen/
+    encrypt/decrypt stay on the single-chip context; the ciphertext hot
+    loop — Karatsuba tensor products (collective-free), relinearization
+    (ModUp all-reduce -> fused 2 x dnum spectrum matvec -> plain exact
+    floor ModDown), rescaling, rotations — runs as SPMD programs.
+    Residue-level bit-exact vs CkksContext (tests/test_ckks.py)."""
+
+    def __init__(self, ctx: CkksContext, mesh, axis: str = "ch",
+                 batch_axis: str | None = None):
+        from .rns_sharded import ShardedRnsRing
+
+        self.ctx = ctx
+        self.base = ShardedRnsRing(ctx.ring, mesh, axis, batch_axis)
+
+    def _sring(self, ring: RnsRing):
+        sr = self.base
+        while tuple(sr.ring.moduli) != tuple(ring.moduli):
+            if len(sr.ring.moduli) <= 1:
+                raise ValueError("ciphertext ring is not a level of "
+                                 "this context's modulus chain")
+            sr = sr.drop_last()
+        return sr
+
+    def put_ct(self, ct: CkksCiphertext) -> ShardedCkksCiphertext:
+        sr = self._sring(ct.ring)
+        return ShardedCkksCiphertext(
+            sring=sr,
+            parts=tuple(sr.put([np.asarray(r) for r in part])
+                        for part in ct.parts),
+            scale=ct.scale)
+
+    def get_ct(self, sct: ShardedCkksCiphertext) -> CkksCiphertext:
+        return CkksCiphertext(ring=sct.sring.ring,
+                              parts=tuple(sct.sring.get(p)
+                                          for p in sct.parts),
+                              scale=sct.scale)
+
+    def encrypt(self, pk: PublicKey, z, rng,
+                scale=None) -> ShardedCkksCiphertext:
+        return self.put_ct(self.ctx.encrypt(pk, z, rng, scale))
+
+    def decrypt(self, sk: SecretKey, sct) -> np.ndarray:
+        return self.ctx.decrypt(sk, self.get_ct(sct))
+
+    def _check(self, a, b):
+        if tuple(a.sring.ring.moduli) != tuple(b.sring.ring.moduli):
+            raise ValueError("ciphertexts live at different levels")
+        if a.scale != b.scale:
+            raise ValueError("ciphertext scales differ; rescale first")
+
+    def add(self, a, b) -> ShardedCkksCiphertext:
+        self._check(a, b)
+        sr = a.sring
+        parts = tuple(sr.add(pa, pb) for pa, pb in zip(a.parts, b.parts))
+        return ShardedCkksCiphertext(sring=sr, parts=parts, scale=a.scale)
+
+    def sub(self, a, b) -> ShardedCkksCiphertext:
+        self._check(a, b)
+        sr = a.sring
+        parts = tuple(sr.sub(pa, pb) for pa, pb in zip(a.parts, b.parts))
+        return ShardedCkksCiphertext(sring=sr, parts=parts, scale=a.scale)
+
+    def mul(self, a, b) -> ShardedCkksCiphertext:
+        if a.degree != 1 or b.degree != 1:
+            raise ValueError("mul expects degree-1 ciphertexts")
+        if tuple(a.sring.ring.moduli) != tuple(b.sring.ring.moduli):
+            raise ValueError("ciphertexts live at different levels")
+        sr = a.sring
+        c0, c1 = a.parts
+        d0, d1 = b.parts
+        e0 = sr.nwc_mult(c0, d0)
+        e2 = sr.nwc_mult(c1, d1)
+        mid = sr.nwc_mult(sr.add(c0, c1), sr.add(d0, d1))
+        e1 = sr.sub(sr.sub(mid, e0), e2)
+        return ShardedCkksCiphertext(sring=sr, parts=(e0, e1, e2),
+                                     scale=a.scale * b.scale)
+
+    def _sharded_specs(self, sr, ksk: KeySwitchKey):
+        """Mesh-transform of the raw key rows, cached per level on the
+        key object (same mechanism as fhe.ShardedBgv._sharded_specs)."""
+        import jax.numpy as jnp
+
+        cache = getattr(ksk, "_sharded_specs", None)
+        if cache is None:
+            cache = ksk._sharded_specs = {}
+        key = tuple(sr.ring.moduli)
+        if key not in cache:
+            if ksk.raw is None:
+                raise ValueError("key has no raw residues")
+            qp = sr.extended(self.ctx.special)
+            k0, k1 = ksk.raw
+            cache[key] = tuple(
+                jnp.stack([qp.nwc_fwd(qp.put(row)) for row in rows])
+                for rows in (k0, k1))
+        return cache[key]
+
+    def _key_switch(self, sr, part, ksk: KeySwitchKey):
+        import jax.numpy as jnp
+
+        if tuple(sr.ring.moduli) != ksk.moduli:
+            raise ValueError("key-switch key was generated for a "
+                             "different level")
+        qp = sr.extended(self.ctx.special)
+        groups = sr.digit_groups(ksk.dnum)
+        k0s, k1s = self._sharded_specs(sr, ksk)
+        ext = jnp.stack(sr.mod_up(part, groups, qp))
+        u0, u1 = sr._hks_matvec(len(groups))(qp.tabs, qp.scal, ext,
+                                             k0s, k1s)
+        ns = len(self.ctx.special)
+        return sr.mod_down(qp, u0, ns), sr.mod_down(qp, u1, ns)
+
+    def relinearize(self, sct, rlk: KeySwitchKey) -> ShardedCkksCiphertext:
+        if sct.degree != 2:
+            raise ValueError("relinearize expects a degree-2 ciphertext")
+        sr = sct.sring
+        u0, u1 = self._key_switch(sr, sct.parts[2], rlk)
+        return ShardedCkksCiphertext(
+            sring=sr,
+            parts=(sr.add(sct.parts[0], u0), sr.add(sct.parts[1], u1)),
+            scale=sct.scale)
+
+    def mul_relin(self, a, b, rlk: KeySwitchKey):
+        return self.relinearize(self.mul(a, b), rlk)
+
+    def rescale(self, sct) -> ShardedCkksCiphertext:
+        sr = sct.sring
+        pk = sr.ring.moduli[-1]
+        parts = tuple(sr.rescale(p) for p in sct.parts)
+        return ShardedCkksCiphertext(sring=sr.drop_last(), parts=parts,
+                                     scale=sct.scale / pk)
+
+    def rotate(self, sct, k: int, rk: KeySwitchKey):
+        return self._apply_galois(sct, pow(5, k, 2 * self.ctx.n), rk)
+
+    def conjugate(self, sct, ck: KeySwitchKey):
+        return self._apply_galois(sct, 2 * self.ctx.n - 1, ck)
+
+    def _apply_galois(self, sct, g: int, gk: KeySwitchKey):
+        if sct.degree != 1:
+            raise ValueError("galois ops expect a degree-1 ciphertext")
+        sr = sct.sring
+        c0 = sr.automorphism(sct.parts[0], g)
+        c1 = sr.automorphism(sct.parts[1], g)
+        u0, u1 = self._key_switch(sr, c1, gk)
+        return ShardedCkksCiphertext(sring=sr,
+                                     parts=(sr.add(c0, u0), u1),
+                                     scale=sct.scale)
