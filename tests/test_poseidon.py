@@ -283,3 +283,20 @@ def test_kernel_bodies_execute_on_cpu(hasher):
     for b in range(B):
         want = h.ref.hash_elements([int(v) for v in rows[b]])
         assert [int(dig[i, b]) for i in range(4)] == want, f"row {b}"
+
+
+def test_merkle_levels_grouped_matches_single(hasher):
+    """group>1 (multi-level jitted calls, the FRI prover's dispatch
+    reduction) must produce byte-identical levels to the per-level
+    form, including non-multiple group sizes."""
+    rng = np.random.default_rng(71)
+    leaves = [to_pairs(rng.integers(0, Q, 32, dtype=np.uint64))
+              for _ in range(4)]
+    base = merkle_levels(hasher, leaves)
+    for g in (2, 3, 6, 32):
+        got = merkle_levels(hasher, leaves, group=g)
+        assert len(got) == len(base)
+        for lb, lg in zip(base, got):
+            for db, dg in zip(lb, lg):
+                assert np.array_equal(np.asarray(db[0]), np.asarray(dg[0]))
+                assert np.array_equal(np.asarray(db[1]), np.asarray(dg[1]))

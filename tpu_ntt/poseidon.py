@@ -435,17 +435,51 @@ class Poseidon2GL:
         return self._permute_impl(list(left) + list(right))[:4]
 
 
-def merkle_levels(hasher: Poseidon2GL, leaves, jit: bool = True):
+def merkle_levels(hasher: Poseidon2GL, leaves, jit: bool = True,
+                  group: int = 1):
     """leaves: 4 pairs of shape (N,) -> list of levels, root last (each
-    level 4 pairs of shape (N/2^k,)).  log2(N) batched compress calls,
-    each through the per-shape jit cache (levels of equal size — across
-    trees or FRI layers — reuse the same compiled program).  Pass
-    ``jit=False`` only when the caller is already inside a jit trace."""
+    level 4 pairs of shape (N/2^k,)).  Batched compress calls through
+    the per-shape jit cache (levels of equal size — across trees or FRI
+    layers — reuse the same compiled program).  Pass ``jit=False`` only
+    when the caller is already inside a jit trace.
+
+    ``group > 1`` computes up to that many SUCCESSIVE levels per jitted
+    call (one program containing `group` chained compress bodies,
+    returning every intermediate level).  On a tunneled backend each
+    device call is a ~25-100 ms RPC, so a 2^21-leaf tree's 21
+    sequential calls are latency- not compute-bound; group=6 cuts the
+    call count ~6x (the production-N FRI prover's dominant cost,
+    BENCH_NOTES round 5).  Whole-TREE jitting is the recorded round-4
+    dead end (compile explodes); bounded groups keep each program at
+    ~group x 2k ops."""
     levels = [list(leaves)]
     cur = list(leaves)
     n = int(np.shape(cur[0][0])[0])
     if n & (n - 1) or n < 1:
         raise ValueError(f"leaf count must be a power of two, got {n}")
+    if group > 1 and jit:
+        import jax
+
+        fn = getattr(hasher, "_grouped_levels_j", None)
+        if fn is None:
+            def impl(cur, steps):
+                outs = []
+                for _ in range(steps):
+                    left = [(h[0::2], l[0::2]) for h, l in cur]
+                    right = [(h[1::2], l[1::2]) for h, l in cur]
+                    cur = hasher.compress(left, right)
+                    outs.append(cur)
+                return outs
+
+            fn = hasher._grouped_levels_j = jax.jit(
+                impl, static_argnums=1)
+        while n > 1:
+            steps = min(group, n.bit_length() - 1)
+            outs = fn(cur, steps)
+            levels.extend(list(lvl) for lvl in outs)
+            cur = list(outs[-1])
+            n >>= steps
+        return levels
     compress = hasher.compress_j if jit else hasher.compress
     while n > 1:
         left = [(h[0::2], l[0::2]) for h, l in cur]

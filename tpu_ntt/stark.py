@@ -359,7 +359,15 @@ class FriProver:
             pairs = (jnp.stack([hi[0::2], hi[1::2]], axis=-1),
                      jnp.stack([lo[0::2], lo[1::2]], axis=-1))
             digests = self.hasher.hash_rows_j(pairs)
-            levels = merkle_levels(self.hasher, digests)
+            # group=6 on TPU: each jitted call computes 6 successive
+            # tree levels — the prover at production N is tunnel-RPC
+            # dispatch-bound and the per-layer trees were ~85% of its
+            # device calls (BENCH_NOTES round 5).  On CPU (the test
+            # suite) dispatch is free and the extra per-shape compiles
+            # are not: keep per-level calls (the grouped path has its
+            # own parity test in tests/test_poseidon.py).
+            group = 6 if jax.devices()[0].platform == "tpu" else 1
+            levels = merkle_levels(self.hasher, digests, group=group)
             top = np.asarray(_root_stack(levels[-1]))  # ONE 8-lane fetch
             root = [int((np.uint64(top[k]) << np.uint64(32))
                         | np.uint64(top[4 + k])) for k in range(4)]
