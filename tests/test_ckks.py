@@ -248,3 +248,25 @@ def test_sharded_ckks_parity():
     for pa, pb in zip(r_p.parts, [r_s.sring.get(x) for x in r_s.parts]):
         for a_, b_ in zip(pa, pb):
             assert np.array_equal(np.asarray(a_), b_)
+
+
+def test_sub_degree_mismatch_keeps_s2_component(ctx, keys):
+    """Round-5 review: sub with a degree-2 operand must PAD (negating
+    the unmatched part), not zip-truncate — a dropped s^2 component
+    decrypts to garbage silently."""
+    rng, sk, pk, rlk = keys
+    z = _rand_z(rng, N // 2, -0.7, 0.7)
+    w = _rand_z(rng, N // 2, -0.7, 0.7)
+    ca, cb = ctx.encrypt(pk, z, rng), ctx.encrypt(pk, w, rng)
+    d2 = ctx.mul(ca, cb)  # degree 2, unrelinearized
+    cc = ctx.encrypt(pk, w, rng, scale=d2.scale)
+    # d2 - cc must keep degree 2 and decrypt to z*w - w
+    out = ctx.sub(d2, cc)
+    assert out.degree == 2
+    got = ctx.decrypt(sk, out)[0]
+    assert np.max(np.abs(got - (z * w - w))) < 16 * _fresh_bound(ctx)
+    # and the reversed order: cc - d2 = w - z*w
+    out2 = ctx.sub(cc, d2)
+    assert out2.degree == 2
+    got2 = ctx.decrypt(sk, out2)[0]
+    assert np.max(np.abs(got2 - (w - z * w))) < 16 * _fresh_bound(ctx)

@@ -376,3 +376,30 @@ def test_sharded_bgv_parity():
 
     a_p, a_s = ctx.add(p_plain, p_plain), sb.add(p_sh, p_sh)
     assert np.array_equal(ctx.decrypt(sk, a_p), sb.decrypt(sk, a_s))
+
+
+def test_sharded_bgv_sub_and_degree_padding():
+    """ShardedBgv add/sub pad degree-mismatched operands exactly like
+    BgvContext (round-5 review: a zip-truncate dropped the s^2 part)."""
+    from tpu_ntt.fhe import BgvContext, ShardedBgv
+
+    n, t = 128, 257
+    ctx = BgvContext(n, t, channels=6, num_special=2, dnum=3)
+    rng = np.random.default_rng(12)
+    sk, pk = ctx.keygen(rng)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("ch",))
+    sb = ShardedBgv(ctx, mesh2)
+    m1 = rng.integers(0, t, n)
+    m2 = rng.integers(0, t, n)
+    c1, c2 = ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng)
+    s1, s2 = sb.put_ct(c1), sb.put_ct(c2)
+    d2 = sb.mul(s1, s2)      # degree 2
+    out = sb.sub(d2, s1)     # must stay degree 2
+    assert out.degree == 2
+    want = ctx.sub(ctx.mul(c1, c2), c1)
+    assert np.array_equal(ctx.decrypt(sk, want),
+                          sb.decrypt(sk, out))
+    out2 = sb.add(s1, d2)
+    assert out2.degree == 2
+    want2 = ctx.add(c1, ctx.mul(c1, c2))
+    assert np.array_equal(ctx.decrypt(sk, want2), sb.decrypt(sk, out2))

@@ -54,8 +54,8 @@ from typing import Sequence
 import numpy as np
 
 from . import dispatch
-from .fhe import (KeySwitchKey, PublicKey, RlweSampler, SecretKey,
-                  decrypt_phase)
+from .fhe import (HybridKeygen, KeySwitchKey, PublicKey, SecretKey,
+                  ShardedRlweBase, decrypt_phase)
 from .rns import RnsRing, _u32, ntt_friendly_primes
 
 
@@ -129,7 +129,7 @@ class CkksCiphertext:
         return len(self.parts) - 1
 
 
-class CkksContext(RlweSampler):
+class CkksContext(HybridKeygen):
     """One CKKS parameterization: ring dimension n, an RNS modulus
     Q = p_1...p_k of same-width NTT-friendly primes (every prime ~ the
     scale, the RNS-CKKS practice so rescaling keeps the scale nearly
@@ -186,86 +186,10 @@ class CkksContext(RlweSampler):
         c = np.frompyfunc(float, 1, 1)(np.asarray(coeffs, dtype=object))
         return embed_forward(self.n, c.astype(np.float64)) / float(scale)
 
-    # -- key generation ------------------------------------------------------
-    def keygen(self, rng) -> tuple[SecretKey, PublicKey]:
-        """RLWE pair b = -a*s + e (no plaintext-modulus factor — CKKS
-        noise rides in the low bits the scale protects)."""
-        sk = SecretKey(self._ternary(rng, self.n).astype(np.int8))
-        ring = self.ring
-        a = self._uniform(rng, ring, (self.n,))
-        e = self._encode_signed(self._err(rng, (self.n,)), ring)
-        a_s = [r[0] for r in ring.nwc_mult(
-            [x[None, :] for x in a],
-            [x[None, :] for x in sk.residues(ring)])]
-        b = ring.sub(e, a_s)
-        return sk, PublicKey(b=b, a=a)
-
-    def _make_ksk(self, sk: SecretKey, target: list, rng,
-                  ring: RnsRing) -> KeySwitchKey:
-        """Hybrid key-switching key for an arbitrary target element:
-        A[0, j] = [e_j - a_j*s + P*G_j*target]_{QP}, A[1, j] = a_j —
-        fhe.BgvContext._make_ksk with the t*e noise replaced by plain e
-        (CKKS keys carry no plaintext modulus)."""
-        import jax.numpy as jnp
-
-        from .modmath import add_mod32, barrett_mul32, sub_mod32
-
-        qp = ring.extended(self.special)
-        groups = ring.digit_groups(self.dnum or len(ring.moduli))
-        P = 1
-        for p in self.special:
-            P *= p
-        s_qp = sk.residues(qp)
-        tgt_qp = ring.base_extend(
-            [r[None, :] if np.ndim(r) == 1 else r for r in target], qp)
-        k0, k1 = [], []
-        for idxs in groups:
-            Qj = 1
-            for i in idxs:
-                Qj *= ring.moduli[i]
-            Qhat = 1
-            for i, p in enumerate(ring.moduli):
-                if i not in idxs:
-                    Qhat *= p
-            g = (Qhat * pow(Qhat % Qj, -1, Qj)) % ring.q
-            a_j = self._uniform(rng, qp, (self.n,))
-            e_j = self._encode_signed(self._err(rng, (self.n,)), qp)
-            a_s = [r[0] for r in qp.nwc_mult(
-                [x[None, :] for x in a_j],
-                [x[None, :] for x in s_qp])]
-            row = []
-            for i, p in enumerate(qp.params):
-                scal = (P * g) % p.q
-                term = barrett_mul32(
-                    jnp.reshape(_u32(tgt_qp[i]), (self.n,)),
-                    jnp.full((self.n,), scal, dtype=jnp.uint32),
-                    p.q, p.barrett_k, p.barrett_mu)
-                row.append(add_mod32(sub_mod32(e_j[i], a_s[i], p.q),
-                                     term, p.q))
-            k0.append(row)
-            k1.append(a_j)
-        spectra = []
-        for i, p in enumerate(qp.params):
-            A = jnp.stack([
-                jnp.stack([k0[j][i] for j in range(len(groups))]),
-                jnp.stack([k1[j][i] for j in range(len(groups))]),
-            ])
-            spectra.append(dispatch.best_nwc_matvec_spectra(p)(A))
-        return KeySwitchKey(moduli=tuple(ring.moduli), special=self.special,
-                            dnum=len(groups), spectra=spectra,
-                            raw=(k0, k1))
-
-    def relin_key(self, sk: SecretKey, rng,
-                  ring: RnsRing | None = None) -> KeySwitchKey:
-        ring = ring or self.ring
-        return self._make_ksk(sk, sk.square_residues(ring), rng, ring)
-
-    def galois_key(self, sk: SecretKey, g: int, rng,
-                   ring: RnsRing | None = None) -> KeySwitchKey:
-        ring = ring or self.ring
-        return self._make_ksk(sk, ring.automorphism(sk.residues(ring), g),
-                              rng, ring)
-
+    # -- key generation: HybridKeygen (noise mult 1 — CKKS noise rides
+    # in the low bits the scale protects; b = e - a*s, keys
+    # A[0,j] = e_j - a_j*s + P*G_j*target).  One audited copy of the
+    # gadget/digit-group math shared with BGV (round-5 review).
     def rotation_key(self, sk: SecretKey, k: int, rng,
                      ring: RnsRing | None = None) -> KeySwitchKey:
         """Key for rotate-left-by-k (the x -> x^(5^k) automorphism)."""
@@ -322,11 +246,19 @@ class CkksContext(RlweSampler):
         return CkksCiphertext(ring=ring, parts=tuple(parts), scale=a.scale)
 
     def sub(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
+        """Degree-padded subtraction (a zip over parts would silently
+        DROP the s^2 component of an unrelinearized operand — round-5
+        review): unmatched parts of b are negated, of a kept."""
         self._check(a, b)
         ring = a.ring
-        parts = tuple(ring.sub(pa, pb)
-                      for pa, pb in zip(a.parts, b.parts))
-        return CkksCiphertext(ring=ring, parts=parts, scale=a.scale)
+        d = max(a.degree, b.degree)
+        parts = []
+        for i in range(d + 1):
+            pa = a.parts[i] if i <= a.degree else None
+            pb = b.parts[i] if i <= b.degree else None
+            parts.append(ring.neg(pb) if pa is None else
+                         pa if pb is None else ring.sub(pa, pb))
+        return CkksCiphertext(ring=ring, parts=tuple(parts), scale=a.scale)
 
     def mul(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
         """Tensor product via Karatsuba (3 ring products) -> degree 2;
@@ -463,32 +395,19 @@ class ShardedCkksCiphertext:
         return len(self.parts) - 1
 
 
-class ShardedCkks:
+class ShardedCkks(ShardedRlweBase):
     """CKKS ciphertext algebra on the channel-sharded RNS ring — the
     mesh form of :class:`CkksContext`, completing the scheme pair next
     to fhe.ShardedBgv (SURVEY.md §2.8's mesh mandate on the op that
-    dominates CKKS cost: hybrid key switching).  Encode/keygen/
-    encrypt/decrypt stay on the single-chip context; the ciphertext hot
-    loop — Karatsuba tensor products (collective-free), relinearization
-    (ModUp all-reduce -> fused 2 x dnum spectrum matvec -> plain exact
-    floor ModDown), rescaling, rotations — runs as SPMD programs.
-    Residue-level bit-exact vs CkksContext (tests/test_ckks.py)."""
+    dominates CKKS cost: hybrid key switching).  All mesh plumbing —
+    level chain, key-spectra transform, the hybrid switch, Karatsuba
+    parts, degree-padded add/sub, Galois parts — is the shared
+    :class:`fhe.ShardedRlweBase`; the scheme delta is the plain exact
+    floor ModDown and Fraction scale bookkeeping.  Residue-level
+    bit-exact vs CkksContext (tests/test_ckks.py)."""
 
-    def __init__(self, ctx: CkksContext, mesh, axis: str = "ch",
-                 batch_axis: str | None = None):
-        from .rns_sharded import ShardedRnsRing
-
-        self.ctx = ctx
-        self.base = ShardedRnsRing(ctx.ring, mesh, axis, batch_axis)
-
-    def _sring(self, ring: RnsRing):
-        sr = self.base
-        while tuple(sr.ring.moduli) != tuple(ring.moduli):
-            if len(sr.ring.moduli) <= 1:
-                raise ValueError("ciphertext ring is not a level of "
-                                 "this context's modulus chain")
-            sr = sr.drop_last()
-        return sr
+    def _mod_down(self, sr, qp, u, num_special):
+        return sr.mod_down(qp, u, num_special)
 
     def put_ct(self, ct: CkksCiphertext) -> ShardedCkksCiphertext:
         sr = self._sring(ct.ring)
@@ -519,64 +438,27 @@ class ShardedCkks:
 
     def add(self, a, b) -> ShardedCkksCiphertext:
         self._check(a, b)
-        sr = a.sring
-        parts = tuple(sr.add(pa, pb) for pa, pb in zip(a.parts, b.parts))
-        return ShardedCkksCiphertext(sring=sr, parts=parts, scale=a.scale)
+        return ShardedCkksCiphertext(
+            sring=a.sring,
+            parts=self._combine_parts(a.sring, a.parts, b.parts, False),
+            scale=a.scale)
 
     def sub(self, a, b) -> ShardedCkksCiphertext:
         self._check(a, b)
-        sr = a.sring
-        parts = tuple(sr.sub(pa, pb) for pa, pb in zip(a.parts, b.parts))
-        return ShardedCkksCiphertext(sring=sr, parts=parts, scale=a.scale)
+        return ShardedCkksCiphertext(
+            sring=a.sring,
+            parts=self._combine_parts(a.sring, a.parts, b.parts, True),
+            scale=a.scale)
 
     def mul(self, a, b) -> ShardedCkksCiphertext:
         if a.degree != 1 or b.degree != 1:
             raise ValueError("mul expects degree-1 ciphertexts")
         if tuple(a.sring.ring.moduli) != tuple(b.sring.ring.moduli):
             raise ValueError("ciphertexts live at different levels")
-        sr = a.sring
-        c0, c1 = a.parts
-        d0, d1 = b.parts
-        e0 = sr.nwc_mult(c0, d0)
-        e2 = sr.nwc_mult(c1, d1)
-        mid = sr.nwc_mult(sr.add(c0, c1), sr.add(d0, d1))
-        e1 = sr.sub(sr.sub(mid, e0), e2)
-        return ShardedCkksCiphertext(sring=sr, parts=(e0, e1, e2),
-                                     scale=a.scale * b.scale)
-
-    def _sharded_specs(self, sr, ksk: KeySwitchKey):
-        """Mesh-transform of the raw key rows, cached per level on the
-        key object (same mechanism as fhe.ShardedBgv._sharded_specs)."""
-        import jax.numpy as jnp
-
-        cache = getattr(ksk, "_sharded_specs", None)
-        if cache is None:
-            cache = ksk._sharded_specs = {}
-        key = tuple(sr.ring.moduli)
-        if key not in cache:
-            if ksk.raw is None:
-                raise ValueError("key has no raw residues")
-            qp = sr.extended(self.ctx.special)
-            k0, k1 = ksk.raw
-            cache[key] = tuple(
-                jnp.stack([qp.nwc_fwd(qp.put(row)) for row in rows])
-                for rows in (k0, k1))
-        return cache[key]
-
-    def _key_switch(self, sr, part, ksk: KeySwitchKey):
-        import jax.numpy as jnp
-
-        if tuple(sr.ring.moduli) != ksk.moduli:
-            raise ValueError("key-switch key was generated for a "
-                             "different level")
-        qp = sr.extended(self.ctx.special)
-        groups = sr.digit_groups(ksk.dnum)
-        k0s, k1s = self._sharded_specs(sr, ksk)
-        ext = jnp.stack(sr.mod_up(part, groups, qp))
-        u0, u1 = sr._hks_matvec(len(groups))(qp.tabs, qp.scal, ext,
-                                             k0s, k1s)
-        ns = len(self.ctx.special)
-        return sr.mod_down(qp, u0, ns), sr.mod_down(qp, u1, ns)
+        return ShardedCkksCiphertext(
+            sring=a.sring,
+            parts=self._mul_parts(a.sring, a.parts, b.parts),
+            scale=a.scale * b.scale)
 
     def relinearize(self, sct, rlk: KeySwitchKey) -> ShardedCkksCiphertext:
         if sct.degree != 2:
@@ -605,12 +487,7 @@ class ShardedCkks:
         return self._apply_galois(sct, 2 * self.ctx.n - 1, ck)
 
     def _apply_galois(self, sct, g: int, gk: KeySwitchKey):
-        if sct.degree != 1:
-            raise ValueError("galois ops expect a degree-1 ciphertext")
-        sr = sct.sring
-        c0 = sr.automorphism(sct.parts[0], g)
-        c1 = sr.automorphism(sct.parts[1], g)
-        u0, u1 = self._key_switch(sr, c1, gk)
-        return ShardedCkksCiphertext(sring=sr,
-                                     parts=(sr.add(c0, u0), u1),
-                                     scale=sct.scale)
+        return ShardedCkksCiphertext(
+            sring=sct.sring,
+            parts=self._galois_parts(sct.sring, sct.parts, g, gk),
+            scale=sct.scale)

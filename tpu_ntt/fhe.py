@@ -186,38 +186,18 @@ class RlweSampler:
                 for p in ring.moduli]
 
 
-class BgvContext(RlweSampler):
-    """One BGV parameterization: ring dimension n, plaintext modulus t,
-    an RNS ciphertext modulus Q = p_1 ... p_k of NTT-friendly primes, and
-    ``num_special`` extra primes P for hybrid key switching.
+class HybridKeygen(RlweSampler):
+    """RLWE key generation + hybrid key-switching-key construction,
+    shared by BGV and CKKS (tpu_ntt/ckks.py).  The single scheme
+    difference is the noise multiplier on every error term:
+    ``_ksk_noise_mult`` is the plaintext modulus t for BGV (noise rides
+    above the plaintext) and 1 for CKKS (noise rides in the low bits
+    the scale protects) — one audited copy of the gadget/digit-group
+    math instead of two (round-5 review finding)."""
 
-    t must be coprime to every prime (automatic: NTT primes are odd and
-    ≡ 1 mod 2n), smaller than every prime, and <= 65537 (the
-    rescale_mod_t device bound).  err_bound is the uniform noise bound
-    (e coefficients drawn from [-err_bound, err_bound])."""
+    #: scheme hook: multiplies every sampled error term
+    _ksk_noise_mult: int = 1
 
-    def __init__(self, n: int, t: int, channels: int = 4,
-                 moduli: Sequence[int] | None = None, num_special: int = 1,
-                 dnum: int | None = None, prime_width: int = 24,
-                 err_bound: int = 6):
-        self.n = n
-        self.t = int(t)
-        self.ring = RnsRing(n, moduli=moduli, channels=channels,
-                            prime_width=prime_width)
-        if any(p % self.t == 0 for p in self.ring.moduli):
-            raise ValueError("t must be coprime to every RNS prime")
-        if self.t >= min(self.ring.moduli):
-            raise ValueError("t must be smaller than every RNS prime")
-        self.special = tuple(ntt_friendly_primes(
-            n, prime_width, num_special, below=min(self.ring.moduli)))
-        self.dnum = dnum
-        self.err_bound = err_bound
-        # slot packing is available when R_t itself is NTT-friendly
-        self._slot_plan = None
-        if _is_probable_prime(self.t) and (self.t - 1) % (2 * n) == 0:
-            self._slot_plan = NttPlan(make_params(n, self.t))
-
-    # -- key generation (sampling: RlweSampler) ------------------------------
     def keygen(self, rng) -> tuple[SecretKey, PublicKey]:
         sk = SecretKey(self._ternary(rng, self.n).astype(np.int8))
         ring = self.ring
@@ -226,8 +206,8 @@ class BgvContext(RlweSampler):
         a_s = [r[0] for r in ring.nwc_mult(
             [x[None, :] for x in a],
             [x[None, :] for x in sk.residues(ring)])]
-        te = self._encode_signed(self.t * e, ring)
-        b = ring.sub(te, a_s)
+        ne = self._encode_signed(self._ksk_noise_mult * e, ring)
+        b = ring.sub(ne, a_s)
         return sk, PublicKey(b=b, a=a)
 
     def _make_ksk(self, sk: SecretKey, target: list, rng,
@@ -262,7 +242,7 @@ class BgvContext(RlweSampler):
             a_s = [r[0] for r in qp.nwc_mult(
                 [x[None, :] for x in a_j],
                 [x[None, :] for x in s_qp])]
-            te = self._encode_signed(self.t * e_j, qp)
+            ne = self._encode_signed(self._ksk_noise_mult * e_j, qp)
             import jax.numpy as jnp
 
             from .modmath import add_mod32, barrett_mul32, sub_mod32
@@ -274,7 +254,7 @@ class BgvContext(RlweSampler):
                     jnp.reshape(_u32(tgt_qp[i]), (self.n,)),
                     jnp.full((self.n,), scal, dtype=jnp.uint32),
                     p.q, p.barrett_k, p.barrett_mu)
-                row.append(add_mod32(sub_mod32(te[i], a_s[i], p.q),
+                row.append(add_mod32(sub_mod32(ne[i], a_s[i], p.q),
                                      term, p.q))
             k0.append(row)
             k1.append(a_j)
@@ -303,7 +283,41 @@ class BgvContext(RlweSampler):
         sig_s = ring.automorphism(sk.residues(ring), g)
         return self._make_ksk(sk, sig_s, rng, ring)
 
-    # -- encryption / decryption --------------------------------------------
+
+
+class BgvContext(HybridKeygen):
+    """One BGV parameterization: ring dimension n, plaintext modulus t,
+    an RNS ciphertext modulus Q = p_1 ... p_k of NTT-friendly primes, and
+    ``num_special`` extra primes P for hybrid key switching.
+
+    t must be coprime to every prime (automatic: NTT primes are odd and
+    ≡ 1 mod 2n), smaller than every prime, and <= 65537 (the
+    rescale_mod_t device bound).  err_bound is the uniform noise bound
+    (e coefficients drawn from [-err_bound, err_bound])."""
+
+    def __init__(self, n: int, t: int, channels: int = 4,
+                 moduli: Sequence[int] | None = None, num_special: int = 1,
+                 dnum: int | None = None, prime_width: int = 24,
+                 err_bound: int = 6):
+        self.n = n
+        self.t = int(t)
+        self.ring = RnsRing(n, moduli=moduli, channels=channels,
+                            prime_width=prime_width)
+        if any(p % self.t == 0 for p in self.ring.moduli):
+            raise ValueError("t must be coprime to every RNS prime")
+        if self.t >= min(self.ring.moduli):
+            raise ValueError("t must be smaller than every RNS prime")
+        self.special = tuple(ntt_friendly_primes(
+            n, prime_width, num_special, below=min(self.ring.moduli)))
+        self.dnum = dnum
+        self.err_bound = err_bound
+        self._ksk_noise_mult = self.t
+        # slot packing is available when R_t itself is NTT-friendly
+        self._slot_plan = None
+        if _is_probable_prime(self.t) and (self.t - 1) % (2 * n) == 0:
+            self._slot_plan = NttPlan(make_params(n, self.t))
+
+    # -- encryption / decryption (keygen: HybridKeygen mixin) ---------------
     def encrypt(self, pk: PublicKey, m, rng) -> Ciphertext:
         """m: host array of residues mod t, shape (n,) or (B, n)."""
         ring = self.ring
@@ -534,7 +548,7 @@ class BgvContext(RlweSampler):
 
 
 # ---------------------------------------------------------------------------
-# BGV on the device mesh (channel-sharded ciphertext algebra)
+# RLWE schemes on the device mesh (channel-sharded ciphertext algebra)
 # ---------------------------------------------------------------------------
 
 
@@ -554,22 +568,18 @@ class ShardedCiphertext:
         return len(self.parts) - 1
 
 
-class ShardedBgv:
-    """BGV ciphertext algebra on the channel-sharded RNS ring — the
-    multi-chip form of :class:`BgvContext` (SURVEY.md §2.8's mesh mandate
-    applied to the op that dominates FHE cost: key switching).
+class ShardedRlweBase:
+    """Mesh plumbing shared by :class:`ShardedBgv` and
+    :class:`tpu_ntt.ckks.ShardedCkks` (one audited copy — round-5
+    review): level chain walk, key-spectra mesh transform, the hybrid
+    key switch (ModUp all-reduce -> fused 2 x dnum spectrum matvec ->
+    scheme-specific ModDown via the ``_mod_down`` hook), Karatsuba
+    tensor parts, Galois parts, and degree-padded part-wise add/sub
+    (padding SUBTRACTION negates the unmatched part — a zip-truncate
+    here silently drops the s^2 component of an unrelinearized
+    ciphertext, the round-5 review's most severe finding)."""
 
-    Key generation, encryption and decryption stay on the single-chip
-    context (host-randomness one-time ops); everything in the ciphertext
-    HOT LOOP — tensor products, relinearization (ModUp -> fused 2 x dnum
-    spectrum matvec -> t-preserving ModDown), modulus switching, Galois
-    rotations — runs as SPMD programs over the mesh.  Per-channel work is
-    collective-free; each digit group's ModUp costs ONE channel-axis
-    all-reduce (the radix-2^16 digit-lane sum, rns_sharded.py module
-    docstring).  Every operation is bit-exact vs the single-chip
-    BgvContext on the same inputs (tests/test_rns_sharded.py)."""
-
-    def __init__(self, ctx: BgvContext, mesh, axis: str = "ch",
+    def __init__(self, ctx, mesh, axis: str = "ch",
                  batch_axis: str | None = None):
         from .rns_sharded import ShardedRnsRing
 
@@ -586,6 +596,106 @@ class ShardedBgv:
                                  "this context's modulus chain")
             sr = sr.drop_last()
         return sr
+
+    def _sharded_specs(self, sr, ksk: KeySwitchKey):
+        """(k0, k1) merged spectra of the key over the sharded extended
+        basis, stacked (dnum, k_qp, n) each — transformed ONCE per
+        (key, sharded ring) pair.  Keyed by the ring INSTANCE, not just
+        the level moduli: one key shared by contexts over different
+        meshes must not feed one mesh's committed arrays into the
+        other's program (round-5 review finding; the sring instances
+        are stable — cached along the drop_last chain)."""
+        import jax.numpy as jnp
+
+        cache = getattr(ksk, "_sharded_specs", None)
+        if cache is None:
+            cache = ksk._sharded_specs = {}
+        key = (tuple(sr.ring.moduli), id(sr))
+        if key not in cache:
+            if ksk.raw is None:
+                raise ValueError("key has no raw residues (regenerate "
+                                 "with this framework's keygen)")
+            qp = sr.extended(self.ctx.special)
+            k0, k1 = ksk.raw
+            cache[key] = tuple(
+                jnp.stack([qp.nwc_fwd(qp.put(row)) for row in rows])
+                for rows in (k0, k1))
+        return cache[key]
+
+    def _mod_down(self, sr, qp, u, num_special):
+        raise NotImplementedError  # scheme hook (plain vs mod-t)
+
+    def _key_switch(self, sr, part, ksk: KeySwitchKey):
+        """Hybrid switch of one component on the mesh: ModUp (one
+        all-reduce per digit group spanning multiple devices) -> fused
+        2 x dnum spectrum matvec per extended channel (collective-free)
+        -> scheme ModDown."""
+        import jax.numpy as jnp
+
+        if tuple(sr.ring.moduli) != ksk.moduli:
+            raise ValueError("key-switch key was generated for a "
+                             "different level")
+        qp = sr.extended(self.ctx.special)
+        groups = sr.digit_groups(ksk.dnum)
+        k0s, k1s = self._sharded_specs(sr, ksk)
+        ext = jnp.stack(sr.mod_up(part, groups, qp))
+        u0, u1 = sr._hks_matvec(len(groups))(qp.tabs, qp.scal, ext,
+                                             k0s, k1s)
+        ns = len(self.ctx.special)
+        return (self._mod_down(sr, qp, u0, ns),
+                self._mod_down(sr, qp, u1, ns))
+
+    # -- part-level algebra (scheme wrappers add factor/scale meta) ----------
+    def _mul_parts(self, sr, a_parts, b_parts):
+        """Karatsuba tensor product: 3 SPMD ring products, zero
+        collectives."""
+        c0, c1 = a_parts
+        d0, d1 = b_parts
+        e0 = sr.nwc_mult(c0, d0)
+        e2 = sr.nwc_mult(c1, d1)
+        mid = sr.nwc_mult(sr.add(c0, c1), sr.add(d0, d1))
+        return (e0, sr.sub(sr.sub(mid, e0), e2), e2)
+
+    def _combine_parts(self, sr, a_parts, b_parts, subtract: bool):
+        d = max(len(a_parts), len(b_parts))
+        out = []
+        for i in range(d):
+            pa = a_parts[i] if i < len(a_parts) else None
+            pb = b_parts[i] if i < len(b_parts) else None
+            if pa is None:
+                out.append(sr.neg(pb) if subtract else pb)
+            elif pb is None:
+                out.append(pa)
+            else:
+                out.append(sr.sub(pa, pb) if subtract else sr.add(pa, pb))
+        return tuple(out)
+
+    def _galois_parts(self, sr, parts, g: int, gk: KeySwitchKey):
+        if len(parts) != 2:
+            raise ValueError("galois ops expect a degree-1 ciphertext")
+        c0 = sr.automorphism(parts[0], g)
+        c1 = sr.automorphism(parts[1], g)
+        u0, u1 = self._key_switch(sr, c1, gk)
+        return (sr.add(c0, u0), u1)
+
+
+class ShardedBgv(ShardedRlweBase):
+    """BGV ciphertext algebra on the channel-sharded RNS ring — the
+    multi-chip form of :class:`BgvContext` (SURVEY.md §2.8's mesh mandate
+    applied to the op that dominates FHE cost: key switching).
+
+    Key generation, encryption and decryption stay on the single-chip
+    context (host-randomness one-time ops); everything in the ciphertext
+    HOT LOOP — tensor products, relinearization (ModUp -> fused 2 x dnum
+    spectrum matvec -> t-preserving ModDown), modulus switching, Galois
+    rotations — runs as SPMD programs over the mesh.  Per-channel work is
+    collective-free; each digit group's ModUp costs ONE channel-axis
+    all-reduce (the radix-2^16 digit-lane sum, rns_sharded.py module
+    docstring).  Every operation is bit-exact vs the single-chip
+    BgvContext on the same inputs (tests/test_rns_sharded.py)."""
+
+    def _mod_down(self, sr, qp, u, num_special):
+        return sr.mod_down_mod_t(qp, u, num_special, self.ctx.t)
 
     # -- IO ------------------------------------------------------------------
     def put_ct(self, ct: Ciphertext) -> ShardedCiphertext:
@@ -607,30 +717,6 @@ class ShardedBgv:
     def decrypt(self, sk: SecretKey, sct: ShardedCiphertext) -> np.ndarray:
         return self.ctx.decrypt(sk, self.get_ct(sct))
 
-    # -- key import ----------------------------------------------------------
-    def _sharded_specs(self, sr, ksk: KeySwitchKey):
-        """(k0, k1) merged spectra of the key over the sharded extended
-        basis, stacked (dnum, k_qp, n) each — transformed ONCE per key
-        (cached on the key object; the single-chip kernel spectra in
-        ksk.spectra are backend-specific layouts the mesh program cannot
-        consume)."""
-        import jax.numpy as jnp
-
-        cache = getattr(ksk, "_sharded_specs", None)
-        if cache is None:
-            cache = ksk._sharded_specs = {}
-        key = tuple(sr.ring.moduli)
-        if key not in cache:
-            if ksk.raw is None:
-                raise ValueError("key has no raw residues (regenerate "
-                                 "with this framework's keygen)")
-            qp = sr.extended(self.ctx.special)
-            k0, k1 = ksk.raw
-            cache[key] = tuple(
-                jnp.stack([qp.nwc_fwd(qp.put(row)) for row in rows])
-                for rows in (k0, k1))
-        return cache[key]
-
     # -- ciphertext algebra --------------------------------------------------
     def _match(self, a: ShardedCiphertext, b: ShardedCiphertext):
         if tuple(a.sring.ring.moduli) != tuple(b.sring.ring.moduli):
@@ -643,20 +729,24 @@ class ShardedBgv:
 
     def add(self, a: ShardedCiphertext, b: ShardedCiphertext):
         a, b = self._match(a, b)
-        sr = a.sring
-        d = max(a.degree, b.degree)
-        parts = []
-        for i in range(d + 1):
-            pa = a.parts[i] if i <= a.degree else None
-            pb = b.parts[i] if i <= b.degree else None
-            parts.append(pb if pa is None else
-                         pa if pb is None else sr.add(pa, pb))
-        return ShardedCiphertext(sring=sr, parts=tuple(parts),
-                                 factor=a.factor)
+        return ShardedCiphertext(
+            sring=a.sring,
+            parts=self._combine_parts(a.sring, a.parts, b.parts, False),
+            factor=a.factor)
+
+    def sub(self, a: ShardedCiphertext, b: ShardedCiphertext):
+        a, b = self._match(a, b)
+        return ShardedCiphertext(
+            sring=a.sring,
+            parts=self._combine_parts(a.sring, a.parts, b.parts, True),
+            factor=a.factor)
 
     def mul_scalar(self, sct: ShardedCiphertext, u: int):
         """Centered-scalar multiply, channel-local (per-channel Barrett
-        against the (k,)-vector of uc mod p — one vmapped program)."""
+        against the (k,)-vector of uc mod p).  The vmapped program is
+        built ONCE per instance (a per-call jit closure would retrace
+        every factor-matching add — round-5 review finding); the scalar
+        vector is data."""
         import jax
         import jax.numpy as jnp
 
@@ -667,53 +757,29 @@ class ShardedBgv:
         uc = u - self.ctx.t if u > self.ctx.t // 2 else u
         us = jnp.asarray([uc % p.q for p in sr.ring.params],
                          dtype=jnp.uint32)
-        kb = sr.k_bits
+        f = getattr(self, "_mul_scalar_j", None)
+        if f is None:
+            kb = self.base.k_bits  # same-width basis: shared Barrett k
 
-        def per(q, mu, s, r):
-            return barrett_mul32(r, jnp.broadcast_to(s, r.shape), q, kb,
-                                 mu)
+            def per(q, mu, sc, r):
+                return barrett_mul32(r, jnp.broadcast_to(sc, r.shape),
+                                     q, kb, mu)
 
-        f = jax.jit(jax.vmap(per))
+            f = self._mul_scalar_j = jax.jit(jax.vmap(per))
         parts = tuple(f(sr.scal["q"], sr.scal["mu"], us, p)
                       for p in sct.parts)
         return ShardedCiphertext(sring=sr, parts=parts, factor=sct.factor)
 
     def mul(self, a: ShardedCiphertext, b: ShardedCiphertext):
-        """Karatsuba tensor product (3 SPMD ring products, zero
-        collectives) -> degree-2 ciphertext."""
+        """Karatsuba tensor product -> degree-2 ciphertext."""
         if a.degree != 1 or b.degree != 1:
             raise ValueError("mul expects degree-1 ciphertexts "
                              "(relinearize first)")
         a, b = self._match(a, b)
-        sr = a.sring
-        c0, c1 = a.parts
-        d0, d1 = b.parts
-        e0 = sr.nwc_mult(c0, d0)
-        e2 = sr.nwc_mult(c1, d1)
-        mid = sr.nwc_mult(sr.add(c0, c1), sr.add(d0, d1))
-        e1 = sr.sub(sr.sub(mid, e0), e2)
-        return ShardedCiphertext(sring=sr, parts=(e0, e1, e2),
-                                 factor=a.factor * b.factor % self.ctx.t)
-
-    def _key_switch(self, sr, part, ksk: KeySwitchKey):
-        """Hybrid switch of one component on the mesh: ModUp (one
-        all-reduce per digit group) -> fused 2 x dnum spectrum matvec
-        per extended channel (collective-free) -> t-preserving ModDown
-        (mirrors BgvContext._key_switch exactly)."""
-        import jax.numpy as jnp
-
-        if tuple(sr.ring.moduli) != ksk.moduli:
-            raise ValueError("key-switch key was generated for a "
-                             "different level")
-        qp = sr.extended(self.ctx.special)
-        groups = sr.digit_groups(ksk.dnum)
-        k0s, k1s = self._sharded_specs(sr, ksk)
-        ext = jnp.stack(sr.mod_up(part, groups, qp))
-        u0, u1 = sr._hks_matvec(len(groups))(qp.tabs, qp.scal, ext,
-                                             k0s, k1s)
-        ns = len(self.ctx.special)
-        return (sr.mod_down_mod_t(qp, u0, ns, self.ctx.t),
-                sr.mod_down_mod_t(qp, u1, ns, self.ctx.t))
+        return ShardedCiphertext(
+            sring=a.sring,
+            parts=self._mul_parts(a.sring, a.parts, b.parts),
+            factor=a.factor * b.factor % self.ctx.t)
 
     def relinearize(self, sct: ShardedCiphertext, rlk: KeySwitchKey):
         if sct.degree != 2:
@@ -730,14 +796,10 @@ class ShardedBgv:
 
     def apply_galois(self, sct: ShardedCiphertext, g: int,
                      gk: KeySwitchKey):
-        if sct.degree != 1:
-            raise ValueError("apply_galois expects a degree-1 ciphertext")
-        sr = sct.sring
-        c0 = sr.automorphism(sct.parts[0], g)
-        c1 = sr.automorphism(sct.parts[1], g)
-        u0, u1 = self._key_switch(sr, c1, gk)
-        return ShardedCiphertext(sring=sr, parts=(sr.add(c0, u0), u1),
-                                 factor=sct.factor)
+        return ShardedCiphertext(
+            sring=sct.sring,
+            parts=self._galois_parts(sct.sring, sct.parts, g, gk),
+            factor=sct.factor)
 
     def mod_switch(self, sct: ShardedCiphertext):
         """Drop the last prime (rescale_mod_t per part, channel-local

@@ -246,6 +246,13 @@ class RnsRing:
                                  ra + np.uint32(p.q) - rb))
         return out
 
+    def neg(self, a) -> list:
+        """Per-channel negation (q - r, zero fixed)."""
+        import jax.numpy as jnp
+
+        return [jnp.where(_u32(r) == 0, _u32(r), np.uint32(p.q) - _u32(r))
+                for p, r in zip(self.params, a)]
+
     # -- device CRT exit ------------------------------------------------------
     def reconstruct_words(self, residues):
         """Exact on-device CRT: residues -> canonical c in [0, q) as a

@@ -249,16 +249,38 @@ class ShardedRnsRing:
 
     def automorphism(self, x, g: int):
         """Galois map x -> x^g (rns.automorphism_tables semantics),
-        channel-local: one gather + sign flip per channel."""
-        src, neg = automorphism_tables(self.n, g)
+        channel-local: one gather + sign flip per channel.  The jitted
+        program is cached per g on the instance (rotation hot path:
+        ShardedBgv.apply_galois / ShardedCkks.rotate call this twice per
+        rotation — a fresh closure per call would retrace every time)."""
+        cache = getattr(self, "_autom_j", None)
+        if cache is None:
+            cache = self._autom_j = {}
+        if g not in cache:
+            src, neg = automorphism_tables(self.n, g)
+            src_j, neg_j = jnp.asarray(src), jnp.asarray(neg)
 
+            @jax.jit
+            @jax.vmap
+            def f(q, r):
+                v = jnp.take(r, src_j, axis=-1)
+                return jnp.where(neg_j & (v != 0), q - v, v)
+
+            cache[g] = f
+        return cache[g](self.scal["q"], x)
+
+    @functools.cached_property
+    def _neg(self):
         @jax.jit
         @jax.vmap
         def f(q, r):
-            v = jnp.take(r, jnp.asarray(src), axis=-1)
-            return jnp.where(jnp.asarray(neg) & (v != 0), q - v, v)
+            return jnp.where(r == 0, r, q - r)
 
-        return f(self.scal["q"], x)
+        return f
+
+    def neg(self, x):
+        """Channel-local negation (degree padding in ciphertext sub)."""
+        return self._neg(self.scal["q"], x)
 
     def rescale(self, x):
         """Exact floor-divide by the LAST channel's prime
