@@ -48,6 +48,7 @@ from . import kyber  # noqa: F401  (ML-KEM / FIPS-203 incomplete NTT surface)
 from . import mldsa  # noqa: F401  (ML-DSA / FIPS-204 surface)
 from . import tables  # noqa: F401  (twiddle tables, hex IO, device_psi_powers)
 from . import fhe  # noqa: F401  (BGV leveled homomorphic encryption)
+from . import ckks  # noqa: F401  (CKKS approximate homomorphic encryption)
 from . import poseidon  # noqa: F401  (Poseidon2-GL sponge + Merkle)
 from . import stark  # noqa: F401  (coset LDE + FRI low-degree proofs)
 
