@@ -217,3 +217,30 @@ def test_cached_spectrum_product_gl(rng):
     for i in range(2):
         want = reference.nwc_poly_mult(a_rows[i], b, p)
         assert [int(v) for v in got[i]] == want
+
+
+def test_split_standalone_entries_gl_n32768(rng):
+    """Round 5: split-radix standalone entries on the Goldilocks kernel
+    (const multiplies ride goldilocks_mul; domain scales are all ones so
+    the 'plain' inverse leaves coincide with the fused ones).  Forward
+    layout via nwc_fourstep_to_natural_perm, staged + cached products vs
+    the golden, inverse roundtrip."""
+    p = make_params(32768, GOLDILOCKS_Q)
+    mp = make_plan(p)
+    assert mp._split_depth() == 1
+    rnd = rng
+    a = [rnd.randrange(p.q) for _ in range(p.n)]
+    b = [p.q - 1] * p.n  # boundary operand
+    sa = dec(*mp.nwc_ntt_fwd(enc([a]), interpret=True))[0]
+    perm = mp.nwc_fourstep_to_natural_perm()
+    twisted = [a[i] * pow(p.psi, i, p.q) % p.q for i in range(p.n)]
+    nat = reference.cg_ntt(twisted, p.omega, p.q)
+    assert [int(sa[perm[j]]) for j in range(p.n)] == nat
+    sb = dec(*mp.nwc_ntt_fwd(enc([b]), interpret=True))[0]
+    prod = [int(x) * int(y) % p.q for x, y in zip(sa, sb)]
+    got = dec(*mp.nwc_ntt_inv(enc([prod]), interpret=True))
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got[0]] == want
+    spec = mp.nwc_spectrum(enc([b]), interpret=True)
+    got2 = dec(*mp.nwc_poly_mult_cached(enc([a]), spec, interpret=True))
+    assert [int(v) for v in got2[0]] == want

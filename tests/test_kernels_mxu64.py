@@ -416,3 +416,34 @@ def test_split_left_silently_dense_when_unavailable(rng):
     got = [(int(h) << 32) | int(l)
            for h, l in zip(np.asarray(hi)[0], np.asarray(lo)[0])]
     assert got == reference.nwc_poly_mult(a, b, P60_SMALL)
+
+
+def test_split_standalone_entries_n32768(rng):
+    """Round 5: the split-radix left transform serves the STANDALONE
+    entries too (nwc_ntt_fwd / nwc_ntt_inv / nwc_spectrum /
+    nwc_poly_mult_cached), not just the fused product.  The staged
+    spectrum comes out in the pi-permuted four-step layout
+    (``nwc_fourstep_to_natural_perm`` is the map): the forward matches
+    the psi-twisted golden through it, the host-pointwise staged product
+    and the cached product match the golden, and the standalone inverse
+    (r96 plain-domain split leaves) closes the roundtrip."""
+    q = (1 << 60) - (1 << 18) + 1  # trinomial with 2-adicity 18
+    p = make_params(32768, q)
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    assert mp._split_depth() == 1
+    a = [rng.randrange(q) for _ in range(p.n)]
+    b = [q - 1] * p.n  # boundary operand
+    sa = dec(*mp.nwc_ntt_fwd(enc([a]), interpret=True))[0]
+    perm = mp.nwc_fourstep_to_natural_perm()
+    twisted = [a[i] * pow(p.psi, i, q) % q for i in range(p.n)]
+    nat = reference.cg_ntt(twisted, p.omega, q)
+    assert [int(sa[perm[j]]) for j in range(p.n)] == nat
+    sb = dec(*mp.nwc_ntt_fwd(enc([b]), interpret=True))[0]
+    prod = [int(x) * int(y) % q for x, y in zip(sa, sb)]
+    got = dec(*mp.nwc_ntt_inv(enc([prod]), interpret=True))
+    want = reference.nwc_poly_mult(a, b, p)
+    assert [int(v) for v in got[0]] == want
+    spec = mp.nwc_spectrum(enc([b]), interpret=True)
+    got2 = dec(*mp.nwc_poly_mult_cached(enc([a]), spec, interpret=True))
+    assert [int(v) for v in got2[0]] == want

@@ -1749,6 +1749,216 @@ class MxuPlan64:
             out_hi[g] = r_hi
             out_lo[g] = r_lo
 
+    # ------------------------------------------------------------------
+    # Split-radix standalone entries (round-5 lever: the fused
+    # nwc_poly_mult gained +11..41% from the split left transform at
+    # n >= 32768 — DESIGN.md §2.5c — while nwc_ntt_fwd / nwc_ntt_inv /
+    # nwc_spectrum / nwc_poly_mult_cached kept the dense left.  These
+    # factories give the standalone entries the same split bodies.  The
+    # staged spectrum is then emitted in the PI-PERMUTED four-step
+    # layout (physical row r of the (n1, 128) block holds spectrum row
+    # pi_d(r)); the matching inverse consumes exactly that layout and
+    # ``nwc_fourstep_to_natural_perm`` exposes it, so the fwd/inv and
+    # spectrum/cached pairs stay self-consistent (dispatch.py layout
+    # contract).
+    # ------------------------------------------------------------------
+
+    def _split_depth(self) -> int:
+        """Active split-radix depth of the left transform (0 = dense)."""
+        if not self.split_left:
+            return 0
+        for d, attr in ((5, "w1s5_nwc"), (4, "w1s4_nwc"),
+                        (3, "w1s3_nwc"), (2, "w1s2_nwc"),
+                        (1, "w1s_e_nwc")):
+            if hasattr(self, attr):
+                return d
+        return 0
+
+    def _split_fwd_leaves(self, d: int):
+        if d == 1:
+            return (self.w1s_e_nwc, self.w1s_o_nwc)
+        return tuple(getattr(self, f"w1s{d}_nwc"))
+
+    def _split_inv_leaves(self, d: int):
+        """Fused-pipeline inverse leaves (exit the Montgomery-64 hop)."""
+        if d == 1:
+            return (self.w1is_a_nwc, self.w1is_b_nwc)
+        return tuple(getattr(self, f"w1is{d}_nwc"))
+
+    def _split_mid(self, d: int):
+        return getattr(self, "mid_nwc_split" + ("" if d == 1 else str(d)))
+
+    def _split_mid_inv(self, d: int):
+        return getattr(self,
+                       "mid_inv_nwc_split" + ("" if d == 1 else str(d)))
+
+    def _left_fwd_split_any(self, x, ws, d: int):
+        if d == 1:
+            return self._left_fwd_split(x, ws[0], ws[1])
+        return getattr(self, f"_left_fwd_split{d}")(x, ws)
+
+    def _left_inv_split_any(self, c, ws, d: int):
+        if d == 1:
+            return self._left_inv_split(c, ws[0], ws[1])
+        return getattr(self, f"_left_inv_split{d}")(c, ws)
+
+    def _split_inv_plain_leaves(self):
+        """Domain-neutral (r96) variants of the split inverse leaf
+        matrices for the STANDALONE inverse: ``nwc_ntt_inv`` consumes
+        ``nwc_ntt_fwd``'s PLAIN spectrum, while the fused pipeline's
+        leaves (r32 scale) exist to exit its internal Montgomery-64 hop
+        — the exact analog of ``w1i_nwc_plain`` vs ``w1i_nwc`` on the
+        dense path.  Mirrors __init__'s per-depth leaf construction
+        (root w1i^(2^d), rowbases psi128^-1 * w1i^bitrev_d(br)); built
+        lazily on the first standalone-inverse call and cached."""
+        tabs = self.__dict__.get("_inv_plain_tabs")
+        if tabs is not None:
+            return tabs
+        d = self._split_depth()
+        q, p = self.q, self.p
+        w1 = pow(p.omega, self.n2, q)
+        w1i = pow(w1, q - 2, q)
+        psi128_inv = pow(pow(p.psi, self.n2, q), q - 2, q)
+        r96 = self._domain_scales(q)[2]
+        root = pow(w1i, 1 << d, q)
+        pows = _pow_table(root, q, LANES)
+
+        def leaf(rowbase):
+            m = np.empty((LANES, LANES), dtype=object)
+            for i in range(LANES):
+                rs = pow(rowbase, i, q)
+                for j in range(LANES):
+                    m[i, j] = pows[(i * j) % LANES] * rs % q * r96 % q
+            digit_arrays = [np.empty(m.shape, dtype=np.int8)
+                            for _ in range(self.nlimbs)]
+            for idx, v in np.ndenumerate(m):
+                for k, dg in enumerate(_balanced_digits(int(v),
+                                                        self.nlimbs)):
+                    digit_arrays[k][idx] = dg
+            return jnp.asarray(np.concatenate(digit_arrays[::-1], axis=1))
+
+        exps = [int(f"{br:0{d}b}"[::-1], 2) for br in range(1 << d)]
+        tabs = tuple(leaf(psi128_inv * pow(w1i, e, q) % q) for e in exps)
+        self.__dict__["_inv_plain_tabs"] = tabs
+        return tabs
+
+    def _split_row_perm(self):
+        """pi_d over the n1 physical rows (row r holds spectrum row
+        pi_d(r)), or None on the dense path."""
+        d = self._split_depth()
+        if not d:
+            return None
+        r = np.arange(self.n1)
+        pi = (r % LANES) << d
+        for k in range(d):
+            pi += ((r >> (7 + k)) & 1) << (d - 1 - k)
+        return pi
+
+    def nwc_fourstep_to_natural_perm(self) -> np.ndarray:
+        """perm such that natural_nwc_spectrum = nwc_ntt_fwd_flat[perm].
+
+        Equals ``fourstep_to_natural_perm`` on the dense path; under the
+        split-radix left transform the n1 rows are pi_d-permuted (see
+        ``_split_row_perm``), so the perm composes pi_d^-1."""
+        pi = self._split_row_perm()
+        if pi is None:
+            return self.fourstep_to_natural_perm()
+        inv_pi = np.argsort(pi)
+        j = np.arange(self.p.n)
+        return inv_pi[j % self.n1] * LANES + j // self.n1
+
+    def _make_nwc_fwd_split_kernel(self, d: int, nleaves: int):
+        """Standalone split forward (plain spectrum out): left split +
+        pi_d-permuted mid + w2_plain.  refs: nleaves fwd leaves, w2p,
+        4 mid words, out_hi, out_lo."""
+
+        def kernel(x_hi, x_lo, *refs):
+            wf = refs[0:nleaves]
+            w2p = refs[nleaves]
+            mid_w = (refs[nleaves + 1][...], refs[nleaves + 2][...])
+            mid_ws = (refs[nleaves + 3][...], refs[nleaves + 4][...])
+            out_hi, out_lo = refs[nleaves + 5], refs[nleaves + 6]
+            for g in range(x_hi.shape[0]):
+                x = self._left_fwd_split_any((x_hi[g], x_lo[g]), wf, d)
+                x = self._shoup(x, mid_w, mid_ws)
+                r_hi, r_lo = self._matmul_mont(x, w2p, left=False)
+                out_hi[g] = r_hi
+                out_lo[g] = r_lo
+
+        return kernel
+
+    def _make_nwc_inv_split_kernel(self, d: int, nleaves: int):
+        """Standalone split inverse (consumes the plain pi_d-permuted
+        spectrum).  refs: w2i, nleaves plain inv leaves, 4 inv-mid
+        words, out_hi, out_lo."""
+
+        def kernel(x_hi, x_lo, *refs):
+            w2i = refs[0]
+            wi = refs[1:1 + nleaves]
+            midi_w = (refs[nleaves + 1][...], refs[nleaves + 2][...])
+            midi_ws = (refs[nleaves + 3][...], refs[nleaves + 4][...])
+            out_hi, out_lo = refs[nleaves + 5], refs[nleaves + 6]
+            for g in range(x_hi.shape[0]):
+                x = self._matmul_mont((x_hi[g], x_lo[g]), w2i,
+                                      left=False, final=False)
+                x = self._shoup(x, midi_w, midi_ws)
+                r_hi, r_lo = self._left_inv_split_any(x, wi, d)
+                out_hi[g] = r_hi
+                out_lo[g] = r_lo
+
+        return kernel
+
+    def _make_nwc_cached_split_kernel(self, d: int, nleaves: int):
+        """Split product against a cached Montgomery-64 spectrum (the
+        spectrum itself comes from the split ``nwc_spectrum``, so both
+        sides share the pi_d layout).  refs: nleaves fwd leaves, w2,
+        nleaves Montgomery inv leaves, w2i, 4 mid + 4 inv-mid words,
+        out_hi, out_lo."""
+
+        def kernel(a_hi, a_lo, s_hi, s_lo, *refs):
+            wf = refs[0:nleaves]
+            w2 = refs[nleaves]
+            wi = refs[nleaves + 1:2 * nleaves + 1]
+            w2i = refs[2 * nleaves + 1]
+            b = 2 * nleaves + 2
+            mid_w = (refs[b][...], refs[b + 1][...])
+            mid_ws = (refs[b + 2][...], refs[b + 3][...])
+            midi_w = (refs[b + 4][...], refs[b + 5][...])
+            midi_ws = (refs[b + 6][...], refs[b + 7][...])
+            out_hi, out_lo = refs[b + 8], refs[b + 9]
+            for g in range(a_hi.shape[0]):
+                x = self._left_fwd_split_any((a_hi[g], a_lo[g]), wf, d)
+                x = self._shoup(x, mid_w, mid_ws)
+                fa = self._matmul_mont(x, w2, left=False, final=False)
+                c = self._emul(fa, (s_hi[g], s_lo[g]))
+                c = self._matmul_mont(c, w2i, left=False, final=False)
+                c = self._shoup(c, midi_w, midi_ws)
+                r_hi, r_lo = self._left_inv_split_any(c, wi, d)
+                out_hi[g] = r_hi
+                out_lo[g] = r_lo
+
+        return kernel
+
+    def _make_nwc_spec_split_kernel(self, d: int, nleaves: int):
+        """Split forward half of the fused pipeline: cacheable
+        Montgomery-64 spectrum in the pi_d layout.  refs: nleaves fwd
+        leaves, w2, 4 mid words, out_hi, out_lo."""
+
+        def kernel(x_hi, x_lo, *refs):
+            wf = refs[0:nleaves]
+            w2 = refs[nleaves]
+            mid_w = (refs[nleaves + 1][...], refs[nleaves + 2][...])
+            mid_ws = (refs[nleaves + 3][...], refs[nleaves + 4][...])
+            out_hi, out_lo = refs[nleaves + 5], refs[nleaves + 6]
+            for g in range(x_hi.shape[0]):
+                x = self._left_fwd_split_any((x_hi[g], x_lo[g]), wf, d)
+                x = self._shoup(x, mid_w, mid_ws)
+                r_hi, r_lo = self._matmul_mont(x, w2, left=False)
+                out_hi[g] = r_hi
+                out_lo[g] = r_lo
+
+        return kernel
+
     def _group_batch(self, hi, lo):
         b = hi.shape[0]
         step = self.t * self._eff_gps(b)
@@ -1977,9 +2187,20 @@ class MxuPlan64:
         return self._unflatten(out, bsz)
 
     def nwc_spectrum(self, x, interpret: bool = False):
-        """Cacheable operand spectrum (Montgomery-64 domain, four-step
-        layout) for nwc_poly_mult_cached."""
+        """Cacheable operand spectrum (Montgomery-64 domain; four-step
+        layout, pi_d-permuted under the split left transform — see
+        ``nwc_fourstep_to_natural_perm``) for nwc_poly_mult_cached."""
         gx_hi, gx_lo, bsz = self._group_batch(*x)
+        d = self._split_depth()
+        if d:
+            wf = self._split_fwd_leaves(d)
+            out = self._call(
+                self._make_nwc_spec_split_kernel(d, len(wf)),
+                (gx_hi, gx_lo),
+                (*wf, self.w2, *self._split_mid(d)),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         out = self._call(
             self._nwc_spec_kernel,
             (gx_hi, gx_lo),
@@ -2137,6 +2358,19 @@ class MxuPlan64:
         """Negacyclic product of a against a cached nwc_spectrum."""
         ga_hi, ga_lo, bsz = self._group_batch(*a)
         gs_hi, gs_lo, _ = self._group_batch(*spectrum)
+        d = self._split_depth()
+        if d:
+            wf = self._split_fwd_leaves(d)
+            out = self._call(
+                self._make_nwc_cached_split_kernel(d, len(wf)),
+                (ga_hi, ga_lo, gs_hi, gs_lo),
+                (
+                    *wf, self.w2, *self._split_inv_leaves(d), self.w2i,
+                    *self._split_mid(d), *self._split_mid_inv(d),
+                ),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         out = self._call(
             self._nwc_cached_kernel,
             (ga_hi, ga_lo, gs_hi, gs_lo),
@@ -2149,9 +2383,21 @@ class MxuPlan64:
         return self._unflatten(out, bsz)
 
     def nwc_ntt_fwd(self, x, interpret: bool = False):
-        """Batched negacyclic forward transform (twist folded), four-step
-        output layout, plain domain in and out."""
+        """Batched negacyclic forward transform (twist folded), plain
+        domain in and out; four-step output layout, pi_d-permuted under
+        the split left transform (``nwc_fourstep_to_natural_perm`` is
+        the layout map either way)."""
         gx_hi, gx_lo, bsz = self._group_batch(*x)
+        d = self._split_depth()
+        if d:
+            wf = self._split_fwd_leaves(d)
+            out = self._call(
+                self._make_nwc_fwd_split_kernel(d, len(wf)),
+                (gx_hi, gx_lo),
+                (*wf, self.w2_plain, *self._split_mid(d)),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         out = self._call(
             self._nwc_fwd_kernel,
             (gx_hi, gx_lo),
@@ -2166,6 +2412,16 @@ class MxuPlan64:
         natural-order coefficients out (the reference's inverse+SCALE
         phases, rtl/ntt_inverse.v, for users who stage NWC spectra)."""
         gx_hi, gx_lo, bsz = self._group_batch(*x)
+        d = self._split_depth()
+        if d:
+            wi = self._split_inv_plain_leaves()
+            out = self._call(
+                self._make_nwc_inv_split_kernel(d, len(wi)),
+                (gx_hi, gx_lo),
+                (self.w2i, *wi, *self._split_mid_inv(d)),
+                interpret,
+            )
+            return self._unflatten(out, bsz)
         out = self._call(
             self._nwc_inv_kernel,
             (gx_hi, gx_lo),

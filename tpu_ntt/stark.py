@@ -65,10 +65,13 @@ class LdePlan:
 
         ring = make_ring(self.p)
         self.ring = ring
-        # coset scale table g^i, i < n (one-time host O(n) build; the
-        # ring's twiddle encoding so the scale is a mul_tw pass)
-        self.scale_tw = ring.encode_tw(
-            [pow(self.shift, i, q) for i in range(n)])
+        #: order='kernel' flat-pallas plans ride the NEGACYCLIC forward
+        #: (the nwc transform IS the cyclic evaluation over the coset
+        #: psi*H_N, so the coset shift folds as (shift*psi^-1)^i into the
+        #: scale table) — that is the entry the split-radix left
+        #: transform serves (+35-41% at n1 >= 256, DESIGN.md §2.5c),
+        #: while the cyclic ntt_fwd keeps the dense left.
+        self._kernel_nwc = False
         if order == "kernel":
             # fused-kernel cyclic forward (e.g. pallas-gl64 for the
             # Goldilocks STARK field — ~3x the XLA formulation on chip);
@@ -85,10 +88,12 @@ class LdePlan:
 
             impl = dispatch.impl_name(self.p, "fwd")
             if impl.startswith("pallas-"):
-                n1 = kernels.plan_for(self.p).n1
-                perm = np.arange(self.N).reshape(
-                    n1, self.N // n1).T.reshape(-1)
+                kp = kernels.plan_for(self.p)
+                perm = np.asarray(getattr(
+                    kp, "nwc_fourstep_to_natural_perm",
+                    kp.fourstep_to_natural_perm)())
                 self._kernel_layout = np.argsort(perm).astype(np.int64)
+                self._kernel_nwc = True
             elif "fourstep" in impl and not impl.startswith("xla-"):
                 fs = dispatch.fourstep_plan(self.p)
                 self._kernel_layout = (
@@ -97,8 +102,19 @@ class LdePlan:
                 raise ValueError(
                     f"order='kernel' needs a fused-kernel backend for "
                     f"(n={self.N}, q={q}); dispatch selects {impl!r}")
-            self._kernel_fwd = dispatch.best_ntt_fwd(self.p)
-            self._kernel_inv = dispatch.best_ntt_inv(self.p)
+            if self._kernel_nwc:
+                self._kernel_fwd = dispatch.best_nwc_ntt_fwd(self.p)
+                self._kernel_inv = dispatch.best_nwc_ntt_inv(self.p)
+            else:
+                self._kernel_fwd = dispatch.best_ntt_fwd(self.p)
+                self._kernel_inv = dispatch.best_ntt_inv(self.p)
+        # coset scale table, one-time host O(n) build in the ring's
+        # twiddle encoding (one mul_tw pass): g^i for the cyclic orders,
+        # (g * psi^-1)^i for the nwc kernel route (see _kernel_nwc)
+        base = (self.shift * pow(self.p.psi, -1, q) % q
+                if self._kernel_nwc else self.shift)
+        self.scale_tw = ring.encode_tw(
+            [pow(base, i, q) for i in range(n)])
 
     @functools.cached_property
     def big(self) -> NttPlan:
@@ -144,6 +160,8 @@ class LdePlan:
             c = ntt.ntt_inv(self.big, evals)
         if getattr(self, "_unscale_tw", None) is None:
             inv_s = pow(self.shift, -1, self.p.q)
+            if self._kernel_nwc:  # undo the folded (g * psi^-1)^i scale
+                inv_s = inv_s * self.p.psi % self.p.q
             self._unscale_tw = self.ring.encode_tw(
                 [pow(inv_s, i, self.p.q) for i in range(self.N)])
         return self.ring.mul_tw(c, ntt._tmap(jnp.asarray,
