@@ -438,6 +438,14 @@ def test_dispatch_flat_split2_nwc_override_n65536(rng):
         clo).astype(object)
     assert [int(v) for v in cprod[0]] == want
 
+    # round-5 session 2: the standalone fwd/inv pair is ALSO overridden
+    # onto the flat split kernels (~2x the four-step on chip) — the pair
+    # must stay a matched-layout roundtrip
+    rt = dispatch.best_nwc_ntt_inv(p)(dispatch.best_nwc_ntt_fwd(p)(a))
+    got_rt = ((np.asarray(rt[0]).astype(np.uint64) << np.uint64(32))
+              | np.asarray(rt[1]).astype(np.uint64))
+    assert (got_rt == a).all()
+
 
 def test_dispatch_fourstep_large_n_double_word(rng):
     """n = 2^17 with a 2-adicity-21 60-bit prime through the pairs path.

@@ -447,3 +447,24 @@ def test_split_standalone_entries_n32768(rng):
     spec = mp.nwc_spectrum(enc([b]), interpret=True)
     got2 = dec(*mp.nwc_poly_mult_cached(enc([a]), spec, interpret=True))
     assert [int(v) for v in got2[0]] == want
+
+
+def test_split_inv_plain_leaves_jit_first(rng):
+    """The lazily-built plain-domain inverse leaves must be CONSTANTS
+    even when first touched inside a user jit trace
+    (ensure_compile_time_eval) — a first-touch-under-trace would cache
+    TRACERS and poison every later call (third sighting of that bug
+    family after kyber's KyberPlan and rns._u32; found by the round-5
+    chip driver, which jitted the standalone inverse before any eager
+    call)."""
+    import jax
+
+    q = (1 << 60) - (1 << 18) + 1
+    p = make_params(32768, q)
+    mp = MxuPlan64(p)
+    mp.groups_per_step = 1
+    x = enc([[rng.randrange(q) for _ in range(p.n)]])
+    first = jax.jit(lambda v: mp.nwc_ntt_inv(v, interpret=True))(x)
+    again = mp.nwc_ntt_inv(x, interpret=True)  # eager call after
+    for u, v in zip(first, again):
+        assert np.array_equal(np.asarray(u), np.asarray(v))

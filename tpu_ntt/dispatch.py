@@ -30,7 +30,11 @@ kernel-eligibility half lives in kernels.plan_for):
     O(n log n); demonstrated to n = 2^20 on one chip.  (At n = 65536 the
     flat double-word kernel cannot compile — its per-step temporaries
     exceed the 16 MB scoped VMEM — and the kernel-locals four-step beats
-    the flat XLA path 3.8-3.9x.)  Local sub-transforms follow the same
+    the flat XLA path 3.8-3.9x.)  For 30 < width <= 62 the nwc product
+    AND the standalone nwc fwd/inv pair are overridden back onto the
+    FLAT split-radix kernels up to n = 2^19 (the split left transforms
+    make them compile and win — see the in-branch note).  Local
+    sub-transforms follow the same
     plan_for policy: fused Pallas kernels where they win
     (sharded.KernelFourStep, "kernel-fourstep[-64]": width <= 24 and
     31..62 and Goldilocks — 1.6-2.2x over XLA locals on chip), else the
@@ -300,6 +304,26 @@ def _fourstep_backend(p: NttParams):
 
 
 @functools.lru_cache(maxsize=None)
+def flat_split_plan(p: NttParams):
+    """The FLAT split-radix kernel plan serving ops above the four-step
+    threshold (n = 2^16..2^19, 30 < width <= 62, depth-2..5 left
+    transforms — DESIGN.md §2.5c), or None where the window doesn't
+    apply.  Shared by ``_backend``'s op overrides and consumers that
+    need the transform LAYOUT (stark.LdePlan's kernel order rides
+    ``nwc_fourstep_to_natural_perm`` of this plan)."""
+    if not (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N,
+                    4 * _FOURSTEP_MIN_N, 8 * _FOURSTEP_MIN_N)
+            and 30 < p.width <= 62):
+        return None
+    from .kernels.mxu64 import MxuPlan64
+    from .kernels.sol64 import SolinasPlan64
+
+    cls = (SolinasPlan64 if SolinasPlan64.covers_q(p.q, p.n)
+           else MxuPlan64)
+    return cls(p)
+
+
+@functools.lru_cache(maxsize=None)
 def _backend(p: NttParams):
     """(name, {op: callable}, takes_pairs) — the single policy table."""
     if p.n > _FOURSTEP_MIN_N or (p.n == _FOURSTEP_MIN_N and p.width > 30):
@@ -315,22 +339,25 @@ def _backend(p: NttParams):
         # 9.2k vs 6.5k at 2^17 (B=8; depth-3/4 also need the lifted
         # Mosaic VMEM cap — see _call), 4.3k vs 3.0k at 2^18 (B=32),
         # 2.0k vs 1.6k at 2^19 (depth-5, 112 MiB cap);
-        # BENCH_NOTES.md rounds 3-4.  Only nwc_poly_mult has the split
-        # wiring, so every other op keeps the four-step backend.
+        # BENCH_NOTES.md rounds 3-4.  Round-5 session 2 extends the
+        # override to the standalone fwd/inv pair: the flat split
+        # kernels serve nwc_ntt_fwd/inv too and nearly DOUBLE the
+        # four-step there (72.1k vs 37.2k fwd, 76.3k vs 38.3k inv at
+        # n=65536 w60 B=32 on chip).  spectrum/cached/dot/matvec keep
+        # the four-step backend so their layouts stay matched with
+        # dot_cached/matvec consumers (no flat dot kernel exists at
+        # these sizes — the dense left matrices blow scoped VMEM).
         name, ops, split = _fourstep_backend(p)
-        if (p.n in (_FOURSTEP_MIN_N, 2 * _FOURSTEP_MIN_N,
-                    4 * _FOURSTEP_MIN_N, 8 * _FOURSTEP_MIN_N)
-                and 30 < p.width <= 62):
-            from .kernels.mxu64 import MxuPlan64
-            from .kernels.sol64 import SolinasPlan64
-
-            cls = (SolinasPlan64 if SolinasPlan64.covers_q(p.q, p.n)
-                   else MxuPlan64)
-            mp = cls(p)
+        mp = flat_split_plan(p)
+        if mp is not None:
             interp = jax.devices()[0].platform != "tpu"
             ops = dict(ops)
             ops["nwc"] = _wrap(
                 lambda a, b: mp.nwc_poly_mult(a, b, interp), 2, mp.pairs)
+            ops["nwc_fwd"] = _wrap(
+                lambda x: mp.nwc_ntt_fwd(x, interp), 1, mp.pairs)
+            ops["nwc_inv"] = _wrap(
+                lambda x: mp.nwc_ntt_inv(x, interp), 1, mp.pairs)
             depth = {1: 2, 2: 3, 4: 4, 8: 5}[p.n // _FOURSTEP_MIN_N]
             name = name + f"+flat-split{depth}-nwc"
         return name, ops, split

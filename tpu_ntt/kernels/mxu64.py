@@ -1810,7 +1810,12 @@ class MxuPlan64:
         — the exact analog of ``w1i_nwc_plain`` vs ``w1i_nwc`` on the
         dense path.  Mirrors __init__'s per-depth leaf construction
         (root w1i^(2^d), rowbases psi128^-1 * w1i^bitrev_d(br)); built
-        lazily on the first standalone-inverse call and cached."""
+        lazily on the first standalone-inverse call and cached.  The
+        build runs under ``ensure_compile_time_eval``: a first touch
+        inside a user jit would otherwise cache TRACERS of the constant
+        tables and poison every later trace (third sighting of the
+        first-touch-under-trace bug family — kyber KyberPlan was the
+        first, round 3)."""
         tabs = self.__dict__.get("_inv_plain_tabs")
         if tabs is not None:
             return tabs
@@ -1838,7 +1843,9 @@ class MxuPlan64:
             return jnp.asarray(np.concatenate(digit_arrays[::-1], axis=1))
 
         exps = [int(f"{br:0{d}b}"[::-1], 2) for br in range(1 << d)]
-        tabs = tuple(leaf(psi128_inv * pow(w1i, e, q) % q) for e in exps)
+        with jax.ensure_compile_time_eval():
+            tabs = tuple(leaf(psi128_inv * pow(w1i, e, q) % q)
+                         for e in exps)
         self.__dict__["_inv_plain_tabs"] = tabs
         return tabs
 

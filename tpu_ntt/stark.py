@@ -87,8 +87,13 @@ class LdePlan:
             from . import dispatch, kernels
 
             impl = dispatch.impl_name(self.p, "fwd")
-            if impl.startswith("pallas-"):
-                kp = kernels.plan_for(self.p)
+            kp = (kernels.plan_for(self.p)
+                  if impl.startswith("pallas-")
+                  # above the flat window, dispatch may still route the
+                  # standalone nwc fwd/inv to a FLAT split plan (~2x the
+                  # four-step on chip) — ride it when it exists
+                  else dispatch.flat_split_plan(self.p))
+            if kp is not None:
                 perm = np.asarray(getattr(
                     kp, "nwc_fourstep_to_natural_perm",
                     kp.fourstep_to_natural_perm)())
